@@ -1,0 +1,153 @@
+"""VGG16 convolutional backbone, TPU-native (NHWC, functional).
+
+Re-implements the behavior of the reference backbone
+(/root/reference/ibl/models/vgg.py:28-70): torchvision VGG16 ``features``
+truncated by dropping the final ReLU + MaxPool, so the output is the raw
+(un-activated) conv5_3 feature map, plus a global adaptive-max-pool vector.
+Layers below ``train_layers`` are frozen (reference :20-26,50-53) — here
+frozen-ness is expressed as an optax-compatible trainable mask, since params
+are a pure pytree.
+
+TPU-first choices: NHWC layout (XLA:TPU's native conv layout), conv via
+``lax.conv_general_dilated`` feeding the MXU, optional bfloat16 compute with
+float32 params.
+"""
+
+import dataclasses
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+# (name, in_channels, out_channels, relu_after, pool_after)
+# conv5_3 keeps no ReLU and no pool: the reference drops the trailing
+# ReLU+MaxPool from torchvision's features (/root/reference/ibl/models/vgg.py:41-42).
+VGG16_LAYERS = (
+    ("conv1_1", 3, 64, True, False),
+    ("conv1_2", 64, 64, True, True),
+    ("conv2_1", 64, 128, True, False),
+    ("conv2_2", 128, 128, True, True),
+    ("conv3_1", 128, 256, True, False),
+    ("conv3_2", 256, 256, True, False),
+    ("conv3_3", 256, 256, True, True),
+    ("conv4_1", 256, 512, True, False),
+    ("conv4_2", 512, 512, True, False),
+    ("conv4_3", 512, 512, True, True),
+    ("conv5_1", 512, 512, True, False),
+    ("conv5_2", 512, 512, True, False),
+    ("conv5_3", 512, 512, False, False),
+)
+
+# First trainable conv per train_layers setting; everything before it is
+# frozen (reference __fix_layers, /root/reference/ibl/models/vgg.py:20-26).
+TRAIN_LAYERS_START = {
+    "conv5": "conv5_1",
+    "conv4": "conv4_1",
+    "conv3": "conv3_1",
+    "conv2": "conv2_1",
+    "full": "conv1_1",
+}
+
+FEATURE_DIM = 512
+
+_CONV_DN = ("NHWC", "HWIO", "NHWC")
+
+
+def init_vgg16_params(rng) -> Dict[str, Dict[str, jnp.ndarray]]:
+    """Kaiming-normal (fan_out) init, matching the reference's reset_params
+    (/root/reference/ibl/models/vgg.py:72-80) for the untrained path."""
+    params = {}
+    keys = jax.random.split(rng, len(VGG16_LAYERS))
+    for key, (name, cin, cout, _, _) in zip(keys, VGG16_LAYERS):
+        fan_out = 3 * 3 * cout
+        std = float(np.sqrt(2.0 / fan_out))
+        params[name] = {
+            "w": (jax.random.normal(key, (3, 3, cin, cout), jnp.float32) * std),
+            "b": jnp.zeros((cout,), jnp.float32),
+        }
+    return params
+
+
+def vgg16_apply(
+    params,
+    images: jnp.ndarray,
+    *,
+    compute_dtype=jnp.float32,
+    cut_at_pooling: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Forward pass.
+
+    Args:
+      params: pytree from ``init_vgg16_params`` or the torch converter.
+      images: (N, H, W, 3) preprocessed pixels (mean-subtracted, ~[-128,128]).
+
+    Returns:
+      (pool_x, feature_map): global max-pool vector (N, 512) and conv5_3 map
+      (N, H/16, W/16, 512) — mirroring /root/reference/ibl/models/vgg.py:61-70.
+      With ``cut_at_pooling`` returns only the feature map (reference :63-64).
+    """
+    x = images.astype(compute_dtype)
+    for name, _, _, relu, pool in VGG16_LAYERS:
+        p = params[name]
+        x = lax.conv_general_dilated(
+            x,
+            p["w"].astype(compute_dtype),
+            window_strides=(1, 1),
+            padding="SAME",
+            dimension_numbers=_CONV_DN,
+        )
+        x = x + p["b"].astype(compute_dtype)
+        if relu:
+            x = jnp.maximum(x, 0)
+        if pool:
+            x = lax.reduce_window(
+                x, -jnp.inf, lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+            )
+    x = x.astype(jnp.float32)
+    if cut_at_pooling:
+        return x
+    pool_x = jnp.max(x, axis=(1, 2))  # adaptive max-pool to 1x1
+    return pool_x, x
+
+
+def trainable_mask(params, train_layers: str = "conv5"):
+    """Boolean pytree: True where a param should receive gradients.
+
+    The functional analog of the reference's ``requires_grad = False`` freeze
+    (/root/reference/ibl/models/vgg.py:50-53); feed to ``optax.masked``.
+    """
+    start = TRAIN_LAYERS_START[train_layers]
+    names = [l[0] for l in VGG16_LAYERS]
+    start_i = names.index(start)
+    mask = {}
+    for i, name in enumerate(names):
+        t = i >= start_i
+        if name in params:
+            mask[name] = {k: t for k in params[name]}
+    return mask
+
+
+@dataclasses.dataclass(frozen=True)
+class VGG16:
+    """Config-carrying wrapper so the model factory has a uniform surface."""
+
+    train_layers: str = "conv5"
+    cut_at_pooling: bool = False
+    compute_dtype: object = jnp.float32
+    feature_dim: int = FEATURE_DIM
+
+    def init(self, rng):
+        return init_vgg16_params(rng)
+
+    def apply(self, params, images):
+        return vgg16_apply(
+            params,
+            images,
+            compute_dtype=self.compute_dtype,
+            cut_at_pooling=self.cut_at_pooling,
+        )
+
+    def trainable_mask(self, params):
+        return trainable_mask(params, self.train_layers)

@@ -1,0 +1,138 @@
+"""TPU-resident distance / kNN / mining ops.
+
+The reference computes its Q x G distance matrix and argsort on CPU
+(/root/reference/ibl/evaluators.py:105-160) — a prime TPU win (SURVEY.md §3
+summary). Here everything is tiled matmul on the MXU:
+
+  * pairwise_sqdist     — ||x||² + ||y||² − 2 x·yᵀ
+  * topk_nearest        — streaming top-k over gallery chunks (lax.scan with a
+                          running top-k merge), so the full Q x G matrix is
+                          never materialized for large galleries
+  * mine_hard_tuples    — fixed-shape masked mining: easiest positive +
+                          hardest negatives among a candidate set (the
+                          TPU-native replacement for the reference's
+                          index-juggling sampler, sampler.py:76-88)
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def pairwise_sqdist(x, y):
+    """Squared euclidean distances (M, N) between rows of x (M, D), y (N, D).
+
+    Same quantity as the reference's pairwise_distance (evaluators.py:127-129),
+    computed on device."""
+    x = jnp.asarray(x, jnp.float32)
+    y = jnp.asarray(y, jnp.float32)
+    x2 = jnp.sum(jnp.square(x), axis=1, keepdims=True)  # (M, 1)
+    y2 = jnp.sum(jnp.square(y), axis=1, keepdims=True).T  # (1, N)
+    xy = jnp.dot(x, y.T, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
+    return x2 + y2 - 2.0 * xy
+
+
+def _merge_topk(dist_a, idx_a, dist_b, idx_b, k):
+    """Merge two top-k candidate sets (rowwise), keeping the k smallest."""
+    d = jnp.concatenate([dist_a, dist_b], axis=1)
+    i = jnp.concatenate([idx_a, idx_b], axis=1)
+    neg_d, pos = jax.lax.top_k(-d, k)  # top_k is max-k → negate for min-k
+    return -neg_d, jnp.take_along_axis(i, pos, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+def topk_nearest(query, gallery, k, chunk=4096):
+    """k nearest gallery rows per query row by squared L2.
+
+    Scans the gallery in ``chunk``-sized tiles, merging a running top-k —
+    HBM-resident gallery, O(Q*k) state. Returns (dists (Q,k), indices (Q,k)).
+    Gallery is zero-padded to a multiple of chunk; padded entries get +inf.
+    """
+    q = jnp.asarray(query, jnp.float32)
+    g = jnp.asarray(gallery, jnp.float32)
+    n = g.shape[0]
+    k = min(k, n)
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+    g_pad = jnp.pad(g, ((0, pad), (0, 0)))
+    g_tiles = g_pad.reshape(n_chunks, chunk, -1)
+    q2 = jnp.sum(jnp.square(q), axis=1, keepdims=True)
+
+    init_d = jnp.full((q.shape[0], k), jnp.inf, jnp.float32)
+    init_i = jnp.full((q.shape[0], k), -1, jnp.int32)
+
+    def body(carry, inp):
+        best_d, best_i = carry
+        tile, tile_start = inp
+        t2 = jnp.sum(jnp.square(tile), axis=1)[None, :]
+        d = q2 + t2 - 2.0 * jnp.dot(
+            q, tile.T, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1) + tile_start
+        valid = col < n
+        d = jnp.where(valid, d, jnp.inf)
+        kk = min(k, chunk)
+        neg_d, pos = jax.lax.top_k(-d, kk)
+        tile_idx = jnp.take_along_axis(col, pos, axis=1)
+        best_d, best_i = _merge_topk(best_d, best_i, -neg_d, tile_idx, k)
+        return (best_d, best_i), None
+
+    starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    (best_d, best_i), _ = jax.lax.scan(body, (init_d, init_i), (g_tiles, starts))
+    return best_d, best_i
+
+
+@functools.partial(jax.jit, static_argnames=("neg_num",))
+def mine_hard_tuples(q_feats, g_feats, pos_idx, cand_idx, neg_num=10):
+    """Fixed-shape hard-tuple mining on device.
+
+    Semantics match the reference sampler (sampler.py:62-88): the positive is
+    the *easiest* (nearest by current descriptors) among UTM positives; the
+    negatives are the ``neg_num`` *hardest* (nearest) among a per-anchor
+    candidate set (host-sampled random pool ∪ previous cache, UTM-near items
+    already excluded), padded with -1.
+
+    Args:
+      q_feats: (S, D) anchor descriptors (current model).
+      g_feats: (G, D) gallery descriptors.
+      pos_idx: (S, P) int32 gallery indices of UTM positives, -1 padded.
+      cand_idx: (S, C) int32 candidate negative indices, -1 padded.
+    Returns:
+      pos_choice (S,), neg_choice (S, neg_num) int32 gallery indices.
+    """
+    d2 = pairwise_sqdist(q_feats, g_feats)  # (S, G)
+
+    pos_valid = pos_idx >= 0
+    pos_d = jnp.take_along_axis(d2, jnp.maximum(pos_idx, 0), axis=1)
+    pos_d = jnp.where(pos_valid, pos_d, jnp.inf)
+    pos_choice = jnp.take_along_axis(
+        pos_idx, jnp.argmin(pos_d, axis=1)[:, None], axis=1
+    )[:, 0]
+
+    cand_valid = cand_idx >= 0
+    cand_d = jnp.take_along_axis(d2, jnp.maximum(cand_idx, 0), axis=1)
+    cand_d = jnp.where(cand_valid, cand_d, jnp.inf)
+    _, top_pos = jax.lax.top_k(-cand_d, neg_num)
+    neg_choice = jnp.take_along_axis(cand_idx, top_pos, axis=1)
+    return pos_choice, neg_choice
+
+
+@functools.partial(jax.jit, static_argnames=("pos_pool",))
+def rank_positives(q_feats, g_feats, pos_idx, pos_pool=20):
+    """Rank each anchor's UTM positives by current descriptor distance.
+
+    Returns (S, pos_pool) gallery indices sorted nearest-first (-1 padded) and
+    the full per-anchor positive distances — feeds the SFRS diff-positive
+    selection (sampler.py:158-178)."""
+    d2 = pairwise_sqdist(q_feats, g_feats)
+    pos_valid = pos_idx >= 0
+    pos_d = jnp.take_along_axis(d2, jnp.maximum(pos_idx, 0), axis=1)
+    pos_d = jnp.where(pos_valid, pos_d, jnp.inf)
+    order = jnp.argsort(pos_d, axis=1)[:, :pos_pool]
+    ranked = jnp.take_along_axis(pos_idx, order, axis=1)
+    ranked_d = jnp.take_along_axis(pos_d, order, axis=1)
+    ranked = jnp.where(jnp.isfinite(ranked_d), ranked, -1)
+    return ranked, ranked_d

@@ -1,0 +1,64 @@
+"""Device mesh + sharding helpers.
+
+The reference's entire parallelism story is NCCL data parallelism, one
+process per GPU (/root/reference/ibl/utils/dist_utils.py:11-42, SURVEY.md §2).
+TPU-native replacement: a single-controller ``jax.sharding.Mesh`` with the
+'data' axis over ICI; params replicated, batches sharded, gradient psum
+inserted by XLA under jit. Multi-host (DCN) initialization goes through
+``jax.distributed.initialize`` (call ``maybe_init_distributed`` first in
+multi-process launches).
+"""
+
+import os
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def maybe_init_distributed():
+    """Initialize jax.distributed from env when launched multi-process.
+
+    Replaces the reference's init_dist / init_dist_slurm NCCL rendezvous
+    (dist_utils.py:21-42); JAX picks up coordinator/process env vars or Slurm
+    automatically via its cluster-detection plugins.
+    """
+    if jax.process_count() > 1:
+        return  # already initialized
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get("SLURM_NTASKS"):
+        try:
+            jax.distributed.initialize()
+        except Exception:
+            pass
+
+
+def get_mesh(n_devices=None, devices=None, axis=DATA_AXIS):
+    """1-D data-parallel mesh over available devices (ICI within a slice)."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def data_sharding(mesh, ndim, axis=DATA_AXIS):
+    """Shard dim 0 over the data axis, replicate the rest."""
+    spec = [axis] + [None] * (ndim - 1)
+    return NamedSharding(mesh, P(*spec))
+
+
+def replicated(mesh):
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh, batch, axis=DATA_AXIS):
+    """Place a host array on the mesh, sharded along dim 0."""
+    return jax.tree.map(
+        lambda x: jax.device_put(x, data_sharding(mesh, np.ndim(x), axis)), batch
+    )
+
+
+def pad_to_multiple(n, m):
+    return -(-n // m) * m

