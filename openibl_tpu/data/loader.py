@@ -1,0 +1,120 @@
+"""Host-side input pipeline: image source + thread-prefetched batch loaders.
+
+Replaces the reference's torch DataLoader/Preprocessor/IterLoader stack
+(/root/reference/ibl/utils/data/preprocessor.py:15-42, __init__.py:8-27) with
+a dependency-free pipeline that overlaps PIL decode with TPU compute via a
+small thread pool (PIL releases the GIL during decode/resize).
+"""
+
+import os.path as osp
+import queue
+import threading
+
+import numpy as np
+from PIL import Image
+
+
+class ImageSource:
+    """Maps dataset items (fname, pid, x, y) to transformed image arrays."""
+
+    def __init__(self, items, root=None, transform=None):
+        self.items = list(items)
+        self.root = root
+        self.transform = transform
+
+    def __len__(self):
+        return len(self.items)
+
+    def load(self, index):
+        fname = self.items[index][0]
+        fpath = osp.join(self.root, fname) if self.root else fname
+        img = Image.open(fpath).convert("RGB")
+        if self.transform is not None:
+            return self.transform(img)
+        return np.asarray(img, np.float32)
+
+
+def _prefetch(gen, depth=2):
+    """Run ``gen`` in a daemon thread, yielding through a bounded queue."""
+    q = queue.Queue(maxsize=depth)
+    stop = object()
+
+    def worker():
+        try:
+            for item in gen:
+                q.put(item)
+        finally:
+            q.put(stop)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is stop:
+            return
+        yield item
+
+
+class BatchLoader:
+    """Iterate a list of item indices in fixed-size batches.
+
+    Yields (images (B, H, W, 3) float32, indices (B,) int). The final batch is
+    padded by repeating the last item so shapes stay static for jit; consumers
+    slice by the accompanying ``count``.
+    """
+
+    def __init__(self, source: ImageSource, indices=None, batch_size=32,
+                 prefetch=2):
+        self.source = source
+        self.indices = (
+            np.arange(len(source)) if indices is None else np.asarray(indices)
+        )
+        self.batch_size = batch_size
+        self.prefetch_depth = prefetch
+
+    def __len__(self):
+        return -(-len(self.indices) // self.batch_size)
+
+    def _gen(self):
+        bs = self.batch_size
+        for s in range(0, len(self.indices), bs):
+            idx = self.indices[s : s + bs]
+            count = len(idx)
+            if count < bs:
+                idx = np.concatenate([idx, np.repeat(idx[-1:], bs - count)])
+            imgs = np.stack([self.source.load(int(i)) for i in idx])
+            yield imgs, idx, count
+
+    def __iter__(self):
+        return _prefetch(self._gen(), self.prefetch_depth)
+
+
+class TupleLoader:
+    """Iterate mined tuples: yields (tuple_size, G, H, W, 3) image stacks.
+
+    The index tuples are global indices into q_train + db_train (the same
+    convention as the reference sampler output, sampler.py:86-88).
+    """
+
+    def __init__(self, source: ImageSource, tuples, tuple_size=1, prefetch=2):
+        self.source = source
+        self.tuples = tuples
+        self.tuple_size = tuple_size
+        self.prefetch_depth = prefetch
+
+    def __len__(self):
+        return len(self.tuples) // self.tuple_size
+
+    def _gen(self):
+        t = self.tuple_size
+        for s in range(0, len(self.tuples) - t + 1, t):
+            batch = self.tuples[s : s + t]
+            imgs = np.stack(
+                [
+                    np.stack([self.source.load(int(i)) for i in tup])
+                    for tup in batch
+                ]
+            )
+            yield imgs
+
+    def __iter__(self):
+        return _prefetch(self._gen(), self.prefetch_depth)

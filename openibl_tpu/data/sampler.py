@@ -1,0 +1,189 @@
+"""Hard-negative tuple samplers: host orchestration + device mining.
+
+TPU-native redesign of the reference samplers
+(/root/reference/ibl/utils/data/sampler.py:15-223). The reference materializes
+the full Q x G distance matrix on CPU, argsorts every row, and does per-anchor
+Python set algebra. Here:
+
+  * the distance/top-k work runs on device with fixed shapes
+    (ops.distance.mine_hard_tuples / rank_positives);
+  * the host keeps only the set-algebra state that is genuinely dynamic
+    (candidate sampling via rejection, the per-anchor negative cache).
+
+Semantics preserved exactly (sampler.py:62-88):
+  positive  = nearest UTM-positive by current descriptors ("easiest")
+  negatives = neg_num nearest among (neg_pool random gallery samples outside
+              the UTM 25 m exclusion zone) ∪ (previous refresh's negatives)
+The SFRS variant adds 10 "difficult positives" chosen by comparing euclidean
+vs k-reciprocal-Jaccard orderings of the top pos_pool positives
+(sampler.py:158-178).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from openibl_tpu.ops.distance import mine_hard_tuples, rank_positives
+from openibl_tpu.utils import pad_index_lists
+
+
+class TupleSampler:
+    """Mines (anchor, easiest-positive, neg_num hardest negatives) tuples."""
+
+    def __init__(self, n_query, n_gallery, pos_list, neg_list,
+                 neg_num=10, neg_pool=1000, seed=0):
+        self.n_query = n_query
+        self.n_gallery = n_gallery
+        self.neg_num = neg_num
+        self.neg_pool = neg_pool
+        self.pos_padded, _ = pad_index_lists(pos_list)
+        # exclusion sets: UTM "non-negatives" within 25 m (reference neg_list)
+        self.excl_sets = [frozenset(n) for n in neg_list]
+        self.neg_cache = np.full((n_query, neg_num), -1, np.int32)
+        self.rng = np.random.RandomState(seed)
+        self.tuples = []  # list of [anchor, pos+Q, negs...+Q] global indices
+
+    def set_epoch(self, epoch):
+        self.rng = np.random.RandomState(epoch)
+
+    def _sample_candidates(self, sub_ids):
+        """Per-anchor candidate negatives: neg_pool uniform samples from the
+        allowed gallery (rejection sampling) ∪ cached negatives."""
+        n_cand = self.neg_pool + self.neg_num
+        cand = np.full((len(sub_ids), n_cand), -1, np.int32)
+        for row, a in enumerate(sub_ids):
+            excl = self.excl_sets[a]
+            # uniform sample without replacement from the allowed gallery:
+            # permute, drop exclusion-zone members, truncate
+            want = self.neg_pool
+            perm = self.rng.permutation(self.n_gallery)
+            head = perm[: want + len(excl)]
+            pool = head[~np.isin(head, list(excl))][:want].astype(np.int32)
+            if len(pool) < want:  # pathological tiny gallery
+                rest = perm[want + len(excl):]
+                extra = rest[~np.isin(rest, list(excl))]
+                pool = np.concatenate([pool, extra[: want - len(pool)]]).astype(np.int32)
+            cached = self.neg_cache[a]
+            cached = cached[cached >= 0]
+            merged = np.unique(np.concatenate([pool, cached]))
+            cand[row, : len(merged)] = merged[:n_cand]
+        return cand
+
+    def refresh(self, q_sub_feats, g_feats, sub_ids):
+        """Re-mine tuples for ``sub_ids`` anchors given current descriptors.
+
+        q_sub_feats: (S, D) descriptors of the subset anchors;
+        g_feats: (G, D) full gallery descriptors (HBM-resident).
+        """
+        sub_ids = np.asarray(sub_ids)
+        cand = self._sample_candidates(sub_ids)
+        pos_choice, neg_choice = mine_hard_tuples(
+            jnp.asarray(q_sub_feats),
+            jnp.asarray(g_feats),
+            jnp.asarray(self.pos_padded[sub_ids]),
+            jnp.asarray(cand),
+            neg_num=self.neg_num,
+        )
+        pos_choice = np.asarray(pos_choice)
+        neg_choice = np.asarray(neg_choice)
+        self.neg_cache[sub_ids] = neg_choice
+        q = self.n_query
+        self.tuples = [
+            [int(a), int(p) + q] + [int(n) + q for n in negs]
+            for a, p, negs in zip(sub_ids, pos_choice, neg_choice)
+        ]
+        order = self.rng.permutation(len(self.tuples))
+        self.tuples = [self.tuples[i] for i in order]
+        return self.tuples
+
+
+class DiffTupleSampler(TupleSampler):
+    """SFRS sampler: tuples gain ``pos_num`` difficult positives
+    (reference DistributedRandomDiffTupleSampler, sampler.py:92-192)."""
+
+    def __init__(self, n_query, n_gallery, pos_list, neg_list,
+                 pos_num=10, pos_pool=20, neg_num=10, neg_pool=1000, seed=0):
+        super().__init__(
+            n_query, n_gallery, pos_list, neg_list, neg_num, neg_pool, seed
+        )
+        self.pos_num = pos_num
+        self.pos_pool = pos_pool
+
+    @staticmethod
+    def _jaccard_promoted(euclid_order, jac_dist, pos_num):
+        """Select positives promoted by the Jaccard ordering.
+
+        euclid_order: (P,) gallery ids of top-P positives, euclid-nearest
+        first. jac_dist: (P,) their Jaccard distances. Reproduces the gap
+        logic of sampler.py:163-178: keep (in Jaccard order) the entries
+        whose Jaccard rank beats their euclid rank (gap < 0, most-promoted
+        first), then those with equal rank, truncated to pos_num.
+        """
+        p = len(euclid_order)
+        jac_rank_to_euclid = np.argsort(jac_dist, kind="stable")  # (P,)
+        gap = np.arange(p) - jac_rank_to_euclid
+        neg_positions = np.arange(p)[gap < 0]
+        neg_sorted = neg_positions[np.argsort(gap[gap < 0], kind="stable")]
+        zero_positions = np.arange(p)[gap == 0]
+        keep = np.concatenate([neg_sorted, zero_positions])[:pos_num]
+        sel = jac_rank_to_euclid[keep]
+        return euclid_order[sel]
+
+    def refresh(self, q_sub_feats, g_feats, sub_ids, jaccard_rows=None):
+        """Mine (anchor, top1-pos, negs, diff-positives) tuples.
+
+        jaccard_rows: optional (S, G) Jaccard distances for the subset anchors
+        (from ops.rerank); when None the euclidean distances are used (gen 0
+        behavior — reference netvlad_img_sfrs.py:91-93 falls back to distmat).
+        """
+        sub_ids = np.asarray(sub_ids)
+        cand = self._sample_candidates(sub_ids)
+        pos_choice, neg_choice = mine_hard_tuples(
+            jnp.asarray(q_sub_feats),
+            jnp.asarray(g_feats),
+            jnp.asarray(self.pos_padded[sub_ids]),
+            jnp.asarray(cand),
+            neg_num=self.neg_num,
+        )
+        ranked_pos, _ = rank_positives(
+            jnp.asarray(q_sub_feats),
+            jnp.asarray(g_feats),
+            jnp.asarray(self.pos_padded[sub_ids]),
+            pos_pool=self.pos_pool,
+        )
+        pos_choice = np.asarray(pos_choice)
+        neg_choice = np.asarray(neg_choice)
+        ranked_pos = np.asarray(ranked_pos)
+        self.neg_cache[sub_ids] = neg_choice
+
+        q = self.n_query
+        self.tuples = []
+        for row, a in enumerate(sub_ids):
+            order = ranked_pos[row]
+            order = order[order >= 0]
+            if jaccard_rows is not None:
+                jd = jaccard_rows[row][order]
+                diff_pos = self._jaccard_promoted(order, jd, self.pos_num)
+            else:
+                diff_pos = order[: self.pos_num]
+            # pad by repeating the nearest positive if too few
+            if len(diff_pos) < self.pos_num:
+                fill = np.full(self.pos_num - len(diff_pos), order[0], np.int64)
+                diff_pos = np.concatenate([diff_pos, fill])
+            self.tuples.append(
+                [int(a), int(pos_choice[row]) + q]
+                + [int(n) + q for n in neg_choice[row]]
+                + [int(p) + q for p in diff_pos]
+            )
+        order = self.rng.permutation(len(self.tuples))
+        self.tuples = [self.tuples[i] for i in order]
+        return self.tuples
+
+
+def slice_indices(n, n_shards, shard):
+    """Contiguous per-shard slices with tail padding (reference
+    DistributedSliceSampler, sampler.py:194-223) — used to shard gallery
+    extraction across hosts so rank-ordered reassembly works."""
+    per = -(-n // n_shards)
+    idx = np.arange(n)
+    idx = np.concatenate([idx, idx[: per * n_shards - n]])
+    return idx[shard * per : (shard + 1) * per]

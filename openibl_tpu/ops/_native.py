@@ -1,0 +1,97 @@
+"""ctypes loader for the optional C++ kernels (native/rerank.cpp).
+
+The k-reciprocal expansion loop is O(N * k1^2) pointer-chasing that numpy
+can't vectorize; the C++ kernel gives ~20-50x on it. Falls back to numpy
+silently when the shared object hasn't been built (build with
+``python -m openibl_tpu.ops._native`` or ``make -C native``).
+"""
+
+import ctypes
+import os
+import os.path as osp
+import subprocess
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+_ROOT = osp.dirname(osp.dirname(osp.dirname(osp.abspath(__file__))))
+_SRC = osp.join(_ROOT, "native", "rerank.cpp")
+_SO = osp.join(_ROOT, "native", "librerank.so")
+
+
+def build(verbose=False):
+    """Compile native/rerank.cpp → librerank.so with g++."""
+    cmd = [
+        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+        _SRC, "-o", _SO,
+    ]
+    if verbose:
+        print(" ".join(cmd))
+    subprocess.run(cmd, check=True)
+    return _SO
+
+
+def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    if not osp.exists(_SO) and osp.exists(_SRC):
+        try:
+            build()
+        except Exception:
+            return None
+    if not osp.exists(_SO):
+        return None
+    try:
+        lib = ctypes.CDLL(_SO)
+        lib.expansion_weights.restype = ctypes.c_int64
+        lib.expansion_weights.argtypes = [
+            ctypes.POINTER(ctypes.c_float),  # original (n*n)
+            ctypes.POINTER(ctypes.c_int32),  # initial_rank (n*n)
+            ctypes.c_int64,  # n
+            ctypes.c_int32,  # k1
+            ctypes.POINTER(ctypes.c_int32),  # out rows (cap)
+            ctypes.POINTER(ctypes.c_int32),  # out cols (cap)
+            ctypes.POINTER(ctypes.c_float),  # out vals (cap)
+            ctypes.c_int64,  # cap
+        ]
+        _LIB = lib
+    except OSError:
+        _LIB = None
+    return _LIB
+
+
+def available():
+    return _load() is not None
+
+
+def expansion_weights(original, initial_rank, k1):
+    """C++ path for ops.rerank step 2+3. Returns (rows, cols, vals)."""
+    lib = _load()
+    n = original.shape[0]
+    original = np.ascontiguousarray(original, np.float32)
+    initial_rank = np.ascontiguousarray(initial_rank, np.int32)
+    half = int(np.around(k1 / 2.0))
+    cap = n * (k1 + 1) * (half + 2)
+    rows = np.empty(cap, np.int32)
+    cols = np.empty(cap, np.int32)
+    vals = np.empty(cap, np.float32)
+    count = lib.expansion_weights(
+        original.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        initial_rank.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n, k1,
+        rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        cap,
+    )
+    if count < 0:
+        raise RuntimeError("native expansion_weights overflow")
+    return rows[:count], cols[:count], vals[:count]
+
+
+if __name__ == "__main__":
+    print(build(verbose=True))

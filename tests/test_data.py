@@ -1,0 +1,180 @@
+"""Data layer tests: synthetic dataset, UTM ground truth, transforms,
+loaders, samplers."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from openibl_tpu import data as datasets
+from openibl_tpu.data import transforms as T
+from openibl_tpu.data.dataset import get_groundtruth, radius_neighbors
+from openibl_tpu.data.loader import ImageSource, BatchLoader, TupleLoader
+from openibl_tpu.data.sampler import TupleSampler, DiffTupleSampler, slice_indices
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth")
+    return datasets.create("synthetic", str(root), n_places=12, imgs_per_place=3,
+                           img_size=(24, 32), seed=0)
+
+
+class TestGroundTruth:
+    def test_radius_neighbors(self):
+        q = [(0.0, 0.0), (100.0, 0.0)]
+        g = [(1.0, 0.0), (5.0, 0.0), (30.0, 0.0), (100.0, 1.0)]
+        out = radius_neighbors(q, g, radius=10)
+        assert out[0] == [0, 1] and out[1] == [3]
+
+    def test_same_pid_excluded(self):
+        query = [("q0", 7, 0.0, 0.0)]
+        gallery = [("g0", 7, 1.0, 0.0), ("g1", 8, 2.0, 0.0)]
+        pos, select = get_groundtruth(query, gallery, 10)
+        assert pos == [[1]] and select == [0]
+
+    def test_queries_without_positive_dropped(self):
+        query = [("q0", 1, 0.0, 0.0), ("q1", 2, 500.0, 0.0)]
+        gallery = [("g0", 9, 1.0, 0.0)]
+        pos, neg, select = get_groundtruth(query, gallery, 10, 25)
+        assert select == [0] and pos == [[0]]
+
+
+class TestSynthetic:
+    def test_splits_and_gt(self, synth):
+        assert len(synth.q_train) > 0 and len(synth.db_train) > 0
+        assert len(synth.train_pos) == len(synth.q_train)
+        # every positive must be within 10m and different pid
+        for (fname, pid, x, y), plist in zip(synth.q_train, synth.train_pos):
+            for gi in plist:
+                gf, gpid, gx, gy = synth.db_train[gi]
+                assert gpid != pid
+                assert (gx - x) ** 2 + (gy - y) ** 2 <= 100.0 + 1e-6
+
+    def test_idempotent_arrange(self, synth):
+        # loading again reuses the cached json
+        again = datasets.create(
+            "synthetic", synth.root, n_places=12, imgs_per_place=3,
+            img_size=(24, 32), seed=0,
+        )
+        assert [x[0] for x in again.q_train] == [x[0] for x in synth.q_train]
+
+
+class TestTransforms:
+    def test_normalize_matches_reference_constants(self):
+        img = Image.fromarray(np.full((8, 8, 3), 255, np.uint8))
+        out = T.TestTransform(8, 8)(img)
+        # (255/255 - mean) / (1/255) = 255 - mean*255
+        expect = 255.0 - T.MEAN_RGB * 255.0
+        np.testing.assert_allclose(out[0, 0], expect, rtol=1e-5)
+
+    def test_resize_shapes(self):
+        img = Image.fromarray(np.zeros((100, 300, 3), np.uint8))
+        assert T.TestTransform(48, 64)(img).shape == (48, 64, 3)
+
+    def test_tokyo_shorter_side(self):
+        img = Image.fromarray(np.zeros((100, 300, 3), np.uint8))
+        out = T.TestTransform(48, 64, tokyo=True)(img)
+        assert out.shape[0] == 64 and out.shape[1] == 192  # shorter → 64
+
+    def test_color_jitter_changes_image(self):
+        rng = np.random.RandomState(0)
+        img = Image.fromarray(rng.randint(0, 255, (16, 16, 3), np.uint8))
+        tr = T.TrainTransform(16, 16, jitter=True, seed=1)
+        a, b = tr(img), tr(img)
+        assert not np.allclose(a, b)  # stochastic
+        tr0 = T.TrainTransform(16, 16, jitter=False)
+        np.testing.assert_allclose(tr0(img), tr0(img))
+
+
+class TestLoader:
+    def test_batch_loader_padding(self, synth):
+        src = ImageSource(synth.q_train, root=synth.images_dir,
+                          transform=T.TestTransform(24, 32))
+        loader = BatchLoader(src, batch_size=5)
+        total = 0
+        for imgs, idx, count in loader:
+            assert imgs.shape == (5, 24, 32, 3)
+            total += count
+        assert total == len(synth.q_train)
+
+    def test_tuple_loader(self, synth):
+        src = ImageSource(synth.q_train + synth.db_train, root=synth.images_dir,
+                          transform=T.TestTransform(24, 32))
+        tuples = [[0, len(synth.q_train), len(synth.q_train) + 1]]
+        loader = TupleLoader(src, tuples, tuple_size=1)
+        (batch,) = list(loader)
+        assert batch.shape == (1, 3, 24, 32, 3)
+
+
+class TestSamplers:
+    def _features(self, synth, rng, d=16):
+        # planted descriptors: same pid → close
+        def feat(pid, noise):
+            base = np.random.RandomState(pid).randn(d)
+            return base + noise * rng.randn(d) * 0.05
+
+        qf = np.stack([feat(pid, 1) for _, pid, _, _ in synth.q_train]).astype(np.float32)
+        gf = np.stack([feat(pid, 1) for _, pid, _, _ in synth.db_train]).astype(np.float32)
+        return qf, gf
+
+    def test_tuple_sampler_semantics(self, synth, rng):
+        qf, gf = self._features(synth, rng)
+        s = TupleSampler(
+            len(synth.q_train), len(synth.db_train),
+            synth.train_pos, synth.train_neg, neg_num=3, neg_pool=10, seed=0,
+        )
+        sub = np.arange(len(synth.q_train))
+        tuples = s.refresh(qf[sub], gf, sub)
+        assert len(tuples) == len(sub)
+        nq = len(synth.q_train)
+        d2 = ((qf[:, None] - gf[None]) ** 2).sum(-1)
+        for tup in tuples:
+            a, p = tup[0], tup[1] - nq
+            negs = [n - nq for n in tup[2:]]
+            # positive is the easiest among UTM positives
+            plist = synth.train_pos[a]
+            assert p == plist[int(np.argmin(d2[a, plist]))]
+            # negatives avoid the 25 m exclusion zone
+            for n in negs:
+                assert n not in synth.train_neg[a]
+
+    def test_neg_cache_union(self, synth, rng):
+        qf, gf = self._features(synth, rng)
+        s = TupleSampler(
+            len(synth.q_train), len(synth.db_train),
+            synth.train_pos, synth.train_neg, neg_num=3, neg_pool=5, seed=0,
+        )
+        sub = np.arange(3)
+        s.refresh(qf[sub], gf, sub)
+        first_negs = {tuple(sorted(t[2:])) for t in s.tuples}
+        assert (s.neg_cache[sub] >= 0).all()
+        s.refresh(qf[sub], gf, sub)  # second refresh must include cache
+        assert (s.neg_cache[sub] >= 0).all()
+        assert first_negs  # smoke
+
+    def test_diff_sampler_tuple_shape(self, synth, rng):
+        qf, gf = self._features(synth, rng)
+        s = DiffTupleSampler(
+            len(synth.q_train), len(synth.db_train),
+            synth.train_pos, synth.train_neg,
+            pos_num=2, pos_pool=4, neg_num=3, neg_pool=10, seed=0,
+        )
+        sub = np.arange(len(synth.q_train))
+        tuples = s.refresh(qf[sub], gf, sub)
+        assert all(len(t) == 1 + 1 + 3 + 2 for t in tuples)
+
+    def test_jaccard_promotion_logic(self):
+        # euclid order [10, 11, 12, 13]; jaccard distances reorder them
+        euclid = np.array([10, 11, 12, 13])
+        jac = np.array([0.3, 0.1, 0.4, 0.2])  # jaccard order: 11, 13, 10, 12
+        out = DiffTupleSampler._jaccard_promoted(euclid, jac, pos_num=4)
+        # gaps: jac_rank_to_euclid = [1,3,0,2]; gap = [0-1,1-3,2-0,3-2]=[-1,-2,2,1]
+        # promoted (gap<0) sorted by gap: positions 1 (gap -2), 0 (gap -1) → euclid ranks 3, 1
+        # no zero-gap entries
+        np.testing.assert_array_equal(out, [13, 11])
+
+    def test_slice_indices(self):
+        out = [slice_indices(10, 4, s) for s in range(4)]
+        assert all(len(o) == 3 for o in out)
+        flat = np.concatenate(out)
+        assert set(flat.tolist()) == set(range(10))
