@@ -1,0 +1,89 @@
+"""Benchmark: descriptor extraction images/sec/chip at 480x640.
+
+The reference publishes no throughput numbers (SURVEY.md §6); BASELINE.json's
+north star is >5x the reference's per-GPU extraction rate on a v5e chip. The
+baseline constant below is an estimate of the reference stack's per-GPU rate
+(torch VGG16+NetVLAD fp32 at 480x640 on the 11GB-class GPUs it documents,
+docs/REPRODUCTION.md:5-7): ~50 img/s.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_GPU_IMG_PER_SEC = 50.0  # documented estimate, see module docstring
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch-size", type=int, default=0,
+                   help="0 = sweep and report the best")
+    p.add_argument("--height", type=int, default=480)
+    p.add_argument("--width", type=int, default=640)
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--quick", action="store_true", help="small sweep")
+    p.add_argument("--dtype", type=str, default="bfloat16",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--verbose", action="store_true")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from openibl_tpu import models
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    model = models.create(
+        "embednetpca",
+        base=models.VGG16(compute_dtype=dtype),
+        net_vlad=models.NetVLAD(num_clusters=64),
+        pca_dim=4096,
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    fwd = jax.jit(model.apply)
+
+    batches = [args.batch_size] if args.batch_size else (
+        [8, 16] if args.quick else [16, 32, 64, 128]
+    )
+    best = 0.0
+    best_bs = 0
+    rng = np.random.RandomState(0)
+    for bs in batches:
+        x = jnp.asarray(
+            rng.randn(bs, args.height, args.width, 3).astype(np.float32) * 40
+        )
+        try:
+            # NB: on the tunneled TPU platform block_until_ready is a no-op;
+            # np.asarray materialization is the only reliable fence.
+            np.asarray(fwd(params, x))  # compile + warm
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                out = np.asarray(fwd(params, x))
+            dt = time.perf_counter() - t0
+            del out
+        except Exception as e:  # OOM at large batch
+            if args.verbose:
+                print(f"batch {bs}: {type(e).__name__}", file=sys.stderr)
+            break
+        rate = bs * args.iters / dt
+        if args.verbose:
+            print(f"batch {bs}: {rate:.1f} img/s", file=sys.stderr)
+        if rate > best:
+            best, best_bs = rate, bs
+
+    print(json.dumps({
+        "metric": f"descriptor_images_per_sec_per_chip_{args.height}x{args.width}_{args.dtype}_bs{best_bs}",
+        "value": round(best, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(best / REFERENCE_GPU_IMG_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

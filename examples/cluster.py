@@ -1,0 +1,60 @@
+"""NetVLAD centroid bootstrap (TPU equivalent of
+/root/reference/examples/cluster.py): sample conv5 descriptors from train
+images, k-means to 64 centroids, save the reference-compatible hdf5 cache.
+
+  python examples/cluster.py -d pitts --data-dir data --logs-dir logs
+"""
+
+import argparse
+import os.path as osp
+import sys
+
+sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), ".."))
+
+from openibl_tpu.config import TrainConfig, DataConfig
+from openibl_tpu.engine.pipeline import load_dataset, bootstrap_centroids
+from openibl_tpu import models
+
+
+def main():
+    p = argparse.ArgumentParser(description="VLAD centroid clustering (TPU)")
+    p.add_argument("-d", "--dataset", type=str, default="pitts")
+    p.add_argument("--scale", type=str, default="30k")
+    p.add_argument("--data-dir", type=str, default="data")
+    p.add_argument("--logs-dir", type=str, default="logs")
+    p.add_argument("--num-clusters", type=int, default=64)
+    p.add_argument("--height", type=int, default=480)
+    p.add_argument("--width", type=int, default=640)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--seed", type=int, default=43)
+    args = p.parse_args()
+
+    cfg = TrainConfig(
+        data=DataConfig(dataset=args.dataset, scale=args.scale,
+                        data_dir=args.data_dir, height=args.height,
+                        width=args.width, test_batch_size=args.batch_size),
+        num_clusters=args.num_clusters, init_dir=args.logs_dir,
+        logs_dir=args.logs_dir, seed=args.seed,
+    )
+    dataset = load_dataset(cfg)
+    import jax
+
+    base = models.create("vgg16")
+    params = base.init(jax.random.PRNGKey(args.seed))
+    matconvnet = osp.join(cfg.init_dir, "vd16_offtheshelf_conv5_3_max.pth")
+    if osp.isfile(matconvnet):
+        import torch
+
+        from openibl_tpu.models import convert
+
+        params = convert.vgg16_params_from_torch(
+            torch.load(matconvnet, map_location="cpu", weights_only=False)
+        )
+    centroids, descs = bootstrap_centroids(
+        cfg, dataset, base, params, seed=args.seed
+    )
+    print(f"centroids: {centroids.shape}, descriptors: {descs.shape}")
+
+
+if __name__ == "__main__":
+    main()

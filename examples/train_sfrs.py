@@ -1,0 +1,81 @@
+"""SFRS training: generational self-distillation with region similarities.
+
+TPU-native equivalent of /root/reference/examples/netvlad_img_sfrs.py.
+
+Usage (published recipe):
+  python examples/train_sfrs.py -d pitts --scale 30k
+"""
+
+import argparse
+import os.path as osp
+import sys
+
+sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), ".."))
+
+from openibl_tpu.config import SFRSConfig, DataConfig
+from openibl_tpu.engine.pipeline import run_sfrs_training
+from openibl_tpu.parallel.mesh import get_mesh, maybe_init_distributed
+from openibl_tpu.utils import Logger
+
+
+def main():
+    p = argparse.ArgumentParser(description="SFRS training (TPU)")
+    p.add_argument("-d", "--dataset", type=str, default="pitts")
+    p.add_argument("--scale", type=str, default="30k")
+    p.add_argument("--data-dir", type=str, default="data")
+    p.add_argument("--logs-dir", type=str, default="logs")
+    p.add_argument("--init-dir", type=str, default="logs")
+    p.add_argument("--height", type=int, default=480)
+    p.add_argument("--width", type=int, default=640)
+    p.add_argument("--tuple-size", type=int, default=1)
+    p.add_argument("--test-batch-size", type=int, default=32)
+    p.add_argument("--cache-size", type=int, default=1000)
+    p.add_argument("--neg-num", type=int, default=10)
+    p.add_argument("--neg-pool", type=int, default=1000)
+    p.add_argument("--pos-num", type=int, default=10)
+    p.add_argument("--pos-pool", type=int, default=20)
+    p.add_argument("--num-clusters", type=int, default=64)
+    p.add_argument("--layers", type=str, default="conv5")
+    p.add_argument("--loss-type", type=str, default="sare_ind")
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--weight-decay", type=float, default=1e-3)
+    p.add_argument("--step-size", type=int, default=5)
+    p.add_argument("--epochs", type=int, default=5)
+    p.add_argument("--generations", type=int, default=4)
+    p.add_argument("--temperature", type=float, nargs="+",
+                   default=[0.07, 0.07, 0.06, 0.05])
+    p.add_argument("--soft-weight", type=float, default=0.5)
+    p.add_argument("--margin", type=float, default=0.1)
+    p.add_argument("--features", type=int, default=4096)
+    p.add_argument("--seed", type=int, default=43)
+    p.add_argument("--print-freq", type=int, default=10)
+    p.add_argument("--n-devices", type=int, default=None)
+    args = p.parse_args()
+
+    maybe_init_distributed()
+    cfg = SFRSConfig(
+        data=DataConfig(
+            dataset=args.dataset, scale=args.scale, data_dir=args.data_dir,
+            height=args.height, width=args.width,
+            test_batch_size=args.test_batch_size,
+        ),
+        train_layers=args.layers, num_clusters=args.num_clusters,
+        loss_type=args.loss_type, margin_sq=args.margin,
+        tuple_size=args.tuple_size, neg_num=args.neg_num,
+        neg_pool=args.neg_pool, pos_num=args.pos_num, pos_pool=args.pos_pool,
+        cache_size=args.cache_size, epochs=args.epochs,
+        generations=args.generations, temperature=tuple(args.temperature),
+        soft_weight=args.soft_weight, lr=args.lr, momentum=args.momentum,
+        weight_decay=args.weight_decay, step_size=args.step_size,
+        seed=args.seed, pca_dim=args.features, logs_dir=args.logs_dir,
+        init_dir=args.init_dir, print_freq=args.print_freq,
+    )
+    sys.stdout = Logger(osp.join(cfg.logs_dir, "log.txt"))
+    print(f"config: {cfg}")
+    mesh = get_mesh(args.n_devices)
+    run_sfrs_training(cfg, mesh=mesh)
+
+
+if __name__ == "__main__":
+    main()

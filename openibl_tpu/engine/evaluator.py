@@ -1,0 +1,110 @@
+"""Retrieval evaluation engine: TPU-resident kNN + Recall@N.
+
+Replaces the reference's CPU distmat/argsort pipeline
+(/root/reference/ibl/evaluators.py:105-201) with streaming top-k on device:
+only the top max(topk)·(12 if NMS) neighbors per query are ever materialized
+(ops.distance.topk_nearest). Spatial NMS and the recall scan are cheap host
+index math. The optional k-reciprocal rerank path computes the three full
+distance matrices on device and reranks on host (ops.rerank, C++-accelerated).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from openibl_tpu.ops.distance import topk_nearest, pairwise_sqdist
+from openibl_tpu.parallel.extract import extract_features
+
+
+def spatial_nms(pred, db_ids, top_n):
+    """Keep the first occurrence of each panorama id among the top ``top_n``
+    predictions (reference spatial_nms, evaluators.py:132-140)."""
+    seen = set()
+    out = []
+    for p in pred[:top_n]:
+        pid = db_ids[p]
+        if pid not in seen:
+            seen.add(pid)
+            out.append(p)
+    return out
+
+
+def recalls_from_ranks(sorted_idx, ground_truth, gallery_pids=None,
+                       topk=(1, 5, 10), nms=False):
+    """Recall@k given per-query ranked gallery indices.
+
+    Matches evaluate_all (evaluators.py:142-167): a query counts for every
+    k >= the rank bucket of its first true positive; NMS first dedups by
+    panorama id over the top 12*max(topk)."""
+    topk = list(topk)
+    correct_at_n = np.zeros(len(topk))
+    for q, pred in enumerate(sorted_idx):
+        pred = list(pred)
+        if nms:
+            pred = spatial_nms(pred, gallery_pids, max(topk) * 12)
+        gt = set(ground_truth[q])
+        for i, k in enumerate(topk):
+            if any(p in gt for p in pred[:k]):
+                correct_at_n[i:] += 1
+                break
+    return correct_at_n / len(sorted_idx)
+
+
+def evaluate_descriptors(q_feats, g_feats, ground_truth, gallery_pids=None,
+                         topk=(1, 5, 10), nms=False, rerank=False,
+                         rr_topk=25, lambda_value=0, print_results=True):
+    """End-to-end recall from descriptor arrays."""
+    k_need = max(topk) * (12 if nms else 1)
+    _, idx = topk_nearest(jnp.asarray(q_feats), jnp.asarray(g_feats),
+                          k=min(k_need, len(g_feats)))
+    recalls = recalls_from_ranks(np.asarray(idx), ground_truth, gallery_pids,
+                                 topk, nms)
+    if print_results:
+        _print_recalls(recalls, topk)
+    if not rerank:
+        return recalls
+
+    # k-reciprocal rerank over full distance matrices (reference
+    # Evaluator.evaluate, evaluators.py:194-199; distances enter squared,
+    # matching pairwise_distance's output)
+    from openibl_tpu.ops.rerank import re_ranking
+
+    d_qg = np.asarray(pairwise_sqdist(q_feats, g_feats))
+    d_qq = np.asarray(pairwise_sqdist(q_feats, q_feats))
+    d_gg = np.asarray(pairwise_sqdist(g_feats, g_feats))
+    final = re_ranking(d_qg, d_qq, d_gg, k1=rr_topk, k2=1,
+                       lambda_value=lambda_value)
+    order = np.argsort(final, axis=1)[:, :k_need]
+    recalls = recalls_from_ranks(order, ground_truth, gallery_pids, topk, nms)
+    if print_results:
+        print("after re-ranking:")
+        _print_recalls(recalls, topk)
+    return recalls
+
+
+def _print_recalls(recalls, topk):
+    print("Recall Scores:")
+    for k, r in zip(topk, recalls):
+        print(f"  top-{k:<4}{r:12.1%}")
+
+
+class Evaluator:
+    """Binds a model apply fn + mesh; evaluates loaders end to end
+    (reference Evaluator, evaluators.py:171-201)."""
+
+    def __init__(self, apply_fn, mesh=None):
+        self.apply_fn = apply_fn
+        self.mesh = mesh
+
+    def extract(self, params, loader, pca=None, verbose=False):
+        return extract_features(self.apply_fn, params, loader,
+                                mesh=self.mesh, pca=pca, verbose=verbose)
+
+    def evaluate(self, params, query_loader, gallery_loader, ground_truth,
+                 gallery_pids=None, pca=None, topk=(1, 5, 10), nms=False,
+                 rerank=False, rr_topk=25, lambda_value=0, verbose=False):
+        q_feats = self.extract(params, query_loader, pca=pca, verbose=verbose)
+        g_feats = self.extract(params, gallery_loader, pca=pca, verbose=verbose)
+        return evaluate_descriptors(
+            q_feats, g_feats, ground_truth, gallery_pids, topk=topk, nms=nms,
+            rerank=rerank, rr_topk=rr_topk, lambda_value=lambda_value,
+        )

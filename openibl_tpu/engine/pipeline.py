@@ -1,0 +1,450 @@
+"""End-to-end workflows: baseline training, SFRS training, evaluation.
+
+These are the library-level equivalents of the reference entry points
+(/root/reference/examples/netvlad_img.py:116-233, netvlad_img_sfrs.py:121-255,
+test.py:77-133) — examples/*.py are thin argparse wrappers over this module,
+and the hermetic e2e tests drive it on the synthetic dataset.
+
+Key TPU-native deviations (documented; semantics preserved):
+  * The mining pass extracts only the subset's anchors + the gallery for the
+    baseline (the reference re-extracts every train image each subset —
+    non-subset query features were unused, netvlad_img.py:73-83). SFRS still
+    extracts everything because the Jaccard rerank needs all-query distmats.
+  * cache_size growth is 2^(epoch // step_size) of the ORIGINAL size (the
+    reference compounds the multiplication per epoch, netvlad_img.py:176; for
+    the published 5-epoch/step-5 recipes the two are identical).
+"""
+
+import os.path as osp
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from openibl_tpu import data as datasets
+from openibl_tpu import models
+from openibl_tpu.data.loader import ImageSource, BatchLoader, TupleLoader
+from openibl_tpu.data.sampler import TupleSampler, DiffTupleSampler
+from openibl_tpu.data.transforms import TrainTransform, TestTransform
+from openibl_tpu.engine.evaluator import Evaluator, evaluate_descriptors
+from openibl_tpu.engine.trainer import Trainer
+from openibl_tpu.engine.sfrs import SFRSTrainer
+from openibl_tpu.ops import pca as pca_ops
+from openibl_tpu.ops.distance import pairwise_sqdist
+from openibl_tpu.ops.kmeans import kmeans
+from openibl_tpu.parallel.extract import extract_features
+from openibl_tpu.utils import l2_normalize
+from openibl_tpu.utils.checkpoint import save_checkpoint, load_checkpoint
+
+
+# ---------------------------------------------------------------------------
+# setup helpers
+# ---------------------------------------------------------------------------
+
+def load_dataset(cfg):
+    root = osp.join(cfg.data.data_dir, cfg.data.dataset)
+    kwargs = {}
+    if cfg.data.dataset == "pitts":
+        kwargs["scale"] = cfg.data.scale
+    return datasets.create(cfg.data.dataset, root, **kwargs)
+
+
+def bootstrap_centroids(cfg, dataset, base_model, base_params,
+                        n_images=500, per_image=100, seed=43):
+    """NetVLAD centroid bootstrap (reference examples/cluster.py:59-115):
+    sample conv5 descriptors from random train images, k-means them.
+
+    Reads/writes the reference-compatible hdf5 cache
+    ({arch}_{dataset}_{k}_desc_cen.hdf5 with 'centroids' + 'descriptors')."""
+    import h5py
+
+    cache = osp.join(
+        cfg.init_dir,
+        f"{cfg.arch}_{cfg.data.dataset}_{cfg.num_clusters}_desc_cen.hdf5",
+    )
+    if osp.isfile(cache):
+        with h5py.File(cache, "r") as h5:
+            return h5["centroids"][...], h5["descriptors"][...]
+
+    items = sorted(set(dataset.q_train) | set(dataset.db_train))
+    rng = np.random.RandomState(seed)
+    pick = rng.choice(len(items), min(n_images, len(items)), replace=False)
+    src = ImageSource(
+        [items[i] for i in pick], root=dataset.images_dir,
+        transform=TestTransform(cfg.data.height, cfg.data.width),
+    )
+    fwd = jax.jit(
+        lambda p, x: base_model.apply(p, x)[1]  # conv5 feature map
+    )
+    descs = []
+    for images, _, count in BatchLoader(src, batch_size=cfg.data.test_batch_size):
+        fmap = np.asarray(fwd(base_params, jnp.asarray(images)))[:count]
+        n, h, w, c = fmap.shape
+        flat = fmap.reshape(n, h * w, c)
+        flat = flat / np.maximum(
+            np.linalg.norm(flat, axis=-1, keepdims=True), 1e-12
+        )
+        for img_desc in flat:
+            sample = rng.choice(h * w, min(per_image, h * w), replace=False)
+            descs.append(img_desc[sample])
+    descs = np.concatenate(descs).astype(np.float32)
+    centroids, _ = kmeans(descs, cfg.num_clusters, iters=100, seed=seed)
+    import os
+
+    os.makedirs(cfg.init_dir, exist_ok=True)
+    with h5py.File(cache, "w") as h5:
+        h5.create_dataset("descriptors", data=descs)
+        h5.create_dataset("centroids", data=centroids)
+    return centroids, descs
+
+
+def build_model(cfg, dataset, region=False, tuple_size=None, rng_seed=0):
+    """Backbone + NetVLAD with centroid init. Returns (model, params).
+
+    The backbone starts from converted pretrained weights when
+    ``{init_dir}/vd16_offtheshelf_conv5_3_max.pth`` exists (the MatConvNet
+    conversion the reference trains from, vgg.py:57-58); random init
+    otherwise."""
+    base = models.create(
+        "vgg16", train_layers=cfg.train_layers,
+        compute_dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32,
+    )
+    nv = models.NetVLAD(num_clusters=cfg.num_clusters)
+    if region:
+        model = models.create(
+            "embedregionnet", base=base, net_vlad=nv,
+            tuple_size=tuple_size or cfg.tuple_size,
+        )
+    else:
+        model = models.create("embednet", base=base, net_vlad=nv)
+    params = model.init(jax.random.PRNGKey(rng_seed))
+
+    matconvnet = osp.join(cfg.init_dir, "vd16_offtheshelf_conv5_3_max.pth")
+    if osp.isfile(matconvnet):
+        import torch
+
+        from openibl_tpu.models import convert
+
+        state = torch.load(matconvnet, map_location="cpu", weights_only=False)
+        params["base"] = convert.vgg16_params_from_torch(state)
+
+    clsts, traindescs = bootstrap_centroids(cfg, dataset, base, params["base"])
+    params["vlad"] = nv.init_from_clusters(clsts, traindescs)
+    return model, params
+
+
+def make_sources(cfg, dataset):
+    train_tf = TrainTransform(cfg.data.height, cfg.data.width)
+    test_tf = TestTransform(cfg.data.height, cfg.data.width)
+    train_items = dataset.q_train + dataset.db_train
+    return {
+        "tuple": ImageSource(train_items, dataset.images_dir, train_tf),
+        "q_train": ImageSource(dataset.q_train, dataset.images_dir, test_tf),
+        "db_train": ImageSource(dataset.db_train, dataset.images_dir, test_tf),
+        "q_val": ImageSource(dataset.q_val, dataset.images_dir, test_tf),
+        "db_val": ImageSource(dataset.db_val, dataset.images_dir, test_tf),
+        "q_test": ImageSource(dataset.q_test, dataset.images_dir, test_tf),
+        "db_test": ImageSource(dataset.db_test, dataset.images_dir, test_tf),
+    }
+
+
+def _subset_splits(n_query, cache_size, epoch, step_size, seed):
+    """Shuffled query subsets of (possibly grown) cache size per epoch
+    (netvlad_img.py:176-180)."""
+    size = min(max(cache_size * (2 ** (epoch // step_size)), 1), n_query)
+    rng = np.random.RandomState(seed + epoch)
+    perm = rng.permutation(n_query)
+    return [perm[s : s + size] for s in range(0, n_query, size)]
+
+
+# ---------------------------------------------------------------------------
+# baseline training (triplet / SARE)
+# ---------------------------------------------------------------------------
+
+def run_baseline_training(cfg, mesh=None, verbose=True):
+    dataset = load_dataset(cfg)
+    sources = make_sources(cfg, dataset)
+    model, params = build_model(cfg, dataset)
+    evaluator = Evaluator(model.apply, mesh=mesh)
+
+    trainer = Trainer(
+        model, loss_type=cfg.loss_type, margin=cfg.margin, lr=cfg.lr,
+        momentum=cfg.momentum, weight_decay=cfg.weight_decay, mesh=mesh,
+    )
+    opt_state = trainer.init(params)
+
+    sampler = TupleSampler(
+        len(dataset.q_train), len(dataset.db_train),
+        dataset.train_pos, dataset.train_neg,
+        neg_num=cfg.neg_num, neg_pool=cfg.neg_pool, seed=cfg.seed,
+    )
+
+    start_epoch, best_recall5 = 0, 0.0
+    if cfg.resume:
+        loaded, meta = load_checkpoint(
+            cfg.resume, {"params": params, "opt_state": opt_state}
+        )
+        params, opt_state = loaded["params"], loaded["opt_state"]
+        start_epoch = int(meta.get("epoch", -1)) + 1
+        best_recall5 = float(meta.get("best_recall5", 0.0))
+
+    bs = cfg.data.test_batch_size
+    history = []
+    for epoch in range(start_epoch, cfg.epochs):
+        sampler.set_epoch(cfg.seed + epoch)
+        opt_state = trainer.set_epoch_lr(opt_state, epoch, cfg.step_size, cfg.gamma)
+        for subid, subset in enumerate(
+            _subset_splits(len(dataset.q_train), cfg.cache_size, epoch,
+                           cfg.step_size, cfg.seed)
+        ):
+            # mining: fresh gallery + subset-anchor descriptors
+            g_feats = extract_features(
+                model.apply, params, BatchLoader(sources["db_train"], batch_size=bs),
+                mesh=mesh,
+            )
+            q_feats = extract_features(
+                model.apply, params,
+                BatchLoader(sources["q_train"], indices=subset, batch_size=bs),
+                mesh=mesh,
+            )
+            tuples = sampler.refresh(q_feats, g_feats, subset)
+            loader = TupleLoader(sources["tuple"], tuples, cfg.tuple_size)
+            params, opt_state, avg_loss = trainer.train_epoch(
+                params, opt_state, loader, print_freq=cfg.print_freq,
+                log_prefix=f"Epoch [{epoch}-{subid}]",
+            )
+            if verbose:
+                print(f"Epoch [{epoch}-{subid}] avg loss {avg_loss:.4f}")
+
+        if (epoch + 1) % cfg.eval_step == 0 or epoch == cfg.epochs - 1:
+            recalls = evaluator.evaluate(
+                params,
+                BatchLoader(sources["q_val"], batch_size=bs),
+                BatchLoader(sources["db_val"], batch_size=bs),
+                dataset.val_pos,
+            )
+            history.append((epoch, recalls))
+            is_best = recalls[1] > best_recall5
+            best_recall5 = max(recalls[1], best_recall5)
+            save_checkpoint(
+                osp.join(cfg.logs_dir, f"checkpoint{epoch}.npz"),
+                {"params": params, "opt_state": opt_state},
+                {"epoch": epoch, "best_recall5": float(best_recall5)},
+                is_best=is_best,
+            )
+            if verbose:
+                print(
+                    f" * epoch {epoch} recall@1/5/10: "
+                    f"{recalls[0]:.1%}/{recalls[1]:.1%}/{recalls[2]:.1%} "
+                    f"best@5 {best_recall5:.1%}{' *' if is_best else ''}"
+                )
+
+    # final: PCA on the best model, test-split eval (netvlad_img.py:212-233)
+    best_path = osp.join(cfg.logs_dir, "model_best.npz")
+    if osp.isfile(best_path):
+        loaded, _ = load_checkpoint(best_path, {"params": params})
+        params = loaded["params"]
+    recalls = finalize_with_pca(cfg, dataset, sources, model, params,
+                                mesh=mesh, verbose=verbose)
+    return params, recalls, history
+
+
+def finalize_with_pca(cfg, dataset, sources, model, params, mesh=None,
+                      verbose=True, nms=False):
+    """Train PCA-whitening on <=10k train descriptors, evaluate the test split
+    with reduction (netvlad_img.py:212-233)."""
+    bs = cfg.data.test_batch_size
+    feats = np.concatenate([
+        extract_features(model.apply, params,
+                         BatchLoader(sources["q_train"], batch_size=bs), mesh=mesh),
+        extract_features(model.apply, params,
+                         BatchLoader(sources["db_train"], batch_size=bs), mesh=mesh),
+    ])
+    if len(feats) > 10000:
+        sel = np.random.RandomState(cfg.seed).choice(len(feats), 10000, replace=False)
+        feats = feats[sel]
+    pca = pca_ops.PCA(
+        min(cfg.pca_dim, feats.shape[0], feats.shape[1]), whiten=True,
+        params_path=osp.join(cfg.logs_dir, "pca_params_model_best.h5"),
+    )
+    pca.train(feats)
+    if verbose:
+        print("Testing with PCA reduction:")
+    evaluator = Evaluator(model.apply, mesh=mesh)
+    return evaluator.evaluate(
+        params,
+        BatchLoader(sources["q_test"], batch_size=bs),
+        BatchLoader(sources["db_test"], batch_size=bs),
+        dataset.test_pos,
+        gallery_pids=[it[1] for it in dataset.db_test],
+        pca=pca,
+        nms=nms,
+    )
+
+
+# ---------------------------------------------------------------------------
+# SFRS training
+# ---------------------------------------------------------------------------
+
+def run_sfrs_training(cfg, mesh=None, verbose=True):
+    dataset = load_dataset(cfg)
+    sources = make_sources(cfg, dataset)
+    model, params = build_model(cfg, dataset, region=True)
+    pristine = jax.tree.map(np.asarray, params)  # re-init source per gen
+    teacher = jax.tree.map(jnp.asarray, params)
+    evaluator = Evaluator(model.apply, mesh=mesh)
+
+    trainer = SFRSTrainer(
+        model, loss_type=cfg.loss_type, margin=cfg.margin,
+        temps=cfg.temperature, soft_weight=cfg.soft_weight,
+        neg_num=cfg.neg_num, lr=cfg.lr, momentum=cfg.momentum,
+        weight_decay=cfg.weight_decay, mesh=mesh,
+    )
+
+    sampler = DiffTupleSampler(
+        len(dataset.q_train), len(dataset.db_train),
+        dataset.train_pos, dataset.train_neg,
+        pos_num=cfg.pos_num, pos_pool=cfg.pos_pool,
+        neg_num=cfg.neg_num, neg_pool=cfg.neg_pool, seed=cfg.seed,
+    )
+
+    bs = cfg.data.test_batch_size
+    best_recall5 = 0.0
+    for gen in range(cfg.generations):
+        # teacher ← student; student re-initializes; fresh optimizer
+        # (netvlad_img_sfrs.py:177-188)
+        teacher = jax.tree.map(jnp.asarray, params)
+        params = jax.tree.map(jnp.asarray, pristine)
+        opt_state = trainer.init_generation(params)
+        start_epoch = cfg.epochs - 1 if gen == 0 else 0
+
+        for epoch in range(start_epoch, cfg.epochs):
+            sampler.set_epoch(cfg.seed + epoch)
+            opt_state = trainer.set_epoch_lr(opt_state, epoch, cfg.step_size,
+                                             cfg.gamma)
+            for subid, subset in enumerate(
+                _subset_splits(len(dataset.q_train), cfg.cache_size, epoch,
+                               cfg.step_size, cfg.seed)
+            ):
+                jaccard_rows = None
+                g_feats = extract_features(
+                    model.apply, params,
+                    BatchLoader(sources["db_train"], batch_size=bs), mesh=mesh,
+                )
+                if gen > 0:
+                    # Jaccard mining needs all-query distmats
+                    # (netvlad_img_sfrs.py:84-93)
+                    q_all = extract_features(
+                        model.apply, params,
+                        BatchLoader(sources["q_train"], batch_size=bs), mesh=mesh,
+                    )
+                    from openibl_tpu.ops.rerank import re_ranking
+
+                    d_qg = np.asarray(pairwise_sqdist(q_all, g_feats))
+                    d_qq = np.asarray(pairwise_sqdist(q_all, q_all))
+                    d_gg = np.asarray(pairwise_sqdist(g_feats, g_feats))
+                    jac = re_ranking(d_qg, d_qq, d_gg, k1=20, k2=1,
+                                     lambda_value=cfg.rerank_lambda)
+                    jaccard_rows = jac[subset]
+                    q_feats = q_all[subset]
+                else:
+                    q_feats = extract_features(
+                        model.apply, params,
+                        BatchLoader(sources["q_train"], indices=subset,
+                                    batch_size=bs),
+                        mesh=mesh,
+                    )
+                tuples = sampler.refresh(q_feats, g_feats, subset,
+                                         jaccard_rows=jaccard_rows)
+                loader = TupleLoader(sources["tuple"], tuples, cfg.tuple_size)
+                params, opt_state, (lh, ls) = trainer.train_epoch(
+                    params, teacher, opt_state, loader, gen,
+                    print_freq=cfg.print_freq,
+                    log_prefix=f"Gen {gen} Epoch [{epoch}-{subid}]",
+                )
+                if verbose:
+                    print(f"Gen {gen} Epoch [{epoch}-{subid}] "
+                          f"hard {lh:.4f} soft {ls:.4f}")
+
+            recalls = evaluator.evaluate(
+                params,
+                BatchLoader(sources["q_val"], batch_size=bs),
+                BatchLoader(sources["db_val"], batch_size=bs),
+                dataset.val_pos,
+            )
+            is_best = recalls[1] > best_recall5
+            best_recall5 = max(recalls[1], best_recall5)
+            save_checkpoint(
+                osp.join(cfg.logs_dir, f"checkpoint{gen}_{epoch}.npz"),
+                {"params": params, "opt_state": opt_state},
+                {"epoch": epoch, "generation": gen,
+                 "best_recall5": float(best_recall5)},
+                is_best=is_best,
+            )
+            if verbose:
+                print(f" * gen {gen} epoch {epoch} recall@1/5/10: "
+                      f"{recalls[0]:.1%}/{recalls[1]:.1%}/{recalls[2]:.1%}"
+                      f"{' *' if is_best else ''}")
+
+    best_path = osp.join(cfg.logs_dir, "model_best.npz")
+    if osp.isfile(best_path):
+        loaded, _ = load_checkpoint(best_path, {"params": params})
+        params = loaded["params"]
+    recalls = finalize_with_pca(cfg, dataset, sources, model, params,
+                                mesh=mesh, verbose=verbose)
+    return params, recalls
+
+
+# ---------------------------------------------------------------------------
+# evaluation entry
+# ---------------------------------------------------------------------------
+
+def run_eval(cfg, mesh=None, train_cfg=None, verbose=True):
+    """Checkpoint evaluation with optional PCA reduction / rerank / NMS
+    (reference examples/test.py:77-133)."""
+    dataset = load_dataset(cfg)
+    test_tf = TestTransform(cfg.data.height, cfg.data.width,
+                            tokyo=(cfg.data.dataset == "tokyo"))
+    fixed_tf = TestTransform(cfg.data.height, cfg.data.width)
+    q_src = ImageSource(dataset.q_test, dataset.images_dir, test_tf)
+    db_src = ImageSource(dataset.db_test, dataset.images_dir, fixed_tf)
+
+    nv = models.NetVLAD(num_clusters=cfg.num_clusters)
+    model = models.create("embednet", net_vlad=nv)
+    params = model.init(jax.random.PRNGKey(0))
+    if cfg.checkpoint:
+        if cfg.checkpoint.endswith((".pth", ".pth.tar")):
+            import torch
+
+            from openibl_tpu.models import convert
+
+            state = torch.load(cfg.checkpoint, map_location="cpu",
+                               weights_only=False)
+            if isinstance(state, dict) and "state_dict" in state:
+                state = state["state_dict"]
+            params = convert.embednet_params_from_torch(state)
+        else:
+            loaded, _ = load_checkpoint(cfg.checkpoint, {"params": params})
+            params = loaded["params"]
+
+    pca = None
+    if cfg.reduction and cfg.pca_params:
+        pca = pca_ops.PCA(cfg.pca_dim, whiten=True, params_path=cfg.pca_params)
+
+    bs = cfg.data.test_batch_size
+    q_batch = 1 if cfg.data.dataset == "tokyo" else bs  # variable query sizes
+    evaluator = Evaluator(model.apply, mesh=None if q_batch == 1 else mesh)
+    return evaluator.evaluate(
+        params,
+        BatchLoader(q_src, batch_size=q_batch),
+        BatchLoader(db_src, batch_size=bs),
+        dataset.test_pos,
+        gallery_pids=[it[1] for it in dataset.db_test],
+        pca=pca,
+        nms=cfg.nms,
+        rerank=cfg.rerank,
+        rr_topk=cfg.rr_topk,
+        lambda_value=cfg.lambda_value,
+        verbose=verbose,
+    )

@@ -1,0 +1,141 @@
+"""SFRS trainer: generational self-distillation with region similarities.
+
+TPU-native redesign of the reference SFRSTrainer + generation loop
+(/root/reference/ibl/trainers.py:165-320, examples/netvlad_img_sfrs.py:177-231):
+
+  * student + teacher param trees; per generation the teacher snapshots the
+    student and the student re-initializes (backbone from pretrained weights,
+    NetVLAD from centroids) with a fresh optimizer;
+  * one jitted step takes the easy tuple (anchor, pos, neg_num negatives) and
+    the diff tuple (anchor, pos_num difficult positives) and computes
+    hard loss (gen0: global descriptors; gen>=1: hardest-of-9-regions
+    negatives) + lambda_soft * soft distillation CE;
+  * generation-dependent code paths (gen0 vs gen>=1, teacher temperature) are
+    baked in statically — one compile per generation, 4 total.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from openibl_tpu.ops.losses import sfrs_hard_loss, sfrs_soft_loss
+from openibl_tpu.engine.trainer import make_optimizer, set_learning_rate, steplr
+from openibl_tpu.parallel.mesh import data_sharding, replicated
+
+DEFAULT_TEMPS = (0.07, 0.07, 0.06, 0.05)  # scripts/train_sfrs_dist.sh:27
+
+
+class SFRSTrainer:
+    def __init__(self, model, loss_type="sare_ind", margin=np.sqrt(0.1),
+                 temps=DEFAULT_TEMPS, soft_weight=0.5, neg_num=10,
+                 lr=1e-3, momentum=0.9, weight_decay=1e-3, mesh=None):
+        self.model = model  # EmbedRegionNet
+        self.loss_type = loss_type
+        self.margin = float(margin)
+        self.temps = tuple(temps)
+        self.soft_weight = soft_weight
+        self.neg_num = neg_num
+        self.base_lr = lr
+        self.mesh = mesh
+        self._tx_factory = lambda mask: make_optimizer(
+            lr, momentum, weight_decay, mask
+        )
+        self.tx = None
+        self._steps = {}
+
+    def init_generation(self, params):
+        """Fresh optimizer per generation (netvlad_img_sfrs.py:183-185)."""
+        mask = None
+        if hasattr(self.model, "trainable_mask"):
+            mask = self.model.trainable_mask(params)
+        self.tx = self._tx_factory(mask)
+        return self.tx.init(params)
+
+    def _loss_fn(self, params, teacher_params, easy, diff, gen, lambda_soft):
+        t = easy.shape[0]
+        flat = lambda x: x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:])
+        sim_easy, vlad_a, vlad_p = self.model.apply_train(params, flat(easy))
+        sim_diff, _, _ = self.model.apply_train(params, flat(diff))
+        sim_teacher, _, _ = jax.lax.stop_gradient(
+            self.model.apply_train(teacher_params, flat(diff))
+        )
+        loss_hard = sfrs_hard_loss(
+            vlad_a, vlad_p, sim_easy, self.loss_type,
+            self.temps[0], self.margin, gen,
+        )
+        loss_soft = sfrs_soft_loss(
+            sim_diff, sim_teacher, self.temps[0], self.temps[gen]
+        )
+        return loss_hard + lambda_soft * loss_soft, (loss_hard, loss_soft)
+
+    def _build_step(self, gen, lambda_soft):
+        def step(params, teacher_params, opt_state, easy, diff):
+            (loss, (lh, ls)), grads = jax.value_and_grad(
+                self._loss_fn, has_aux=True
+            )(params, teacher_params, easy, diff, gen, lambda_soft)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, lh, ls
+
+        if self.mesh is None:
+            return jax.jit(step, donate_argnums=(0, 2))
+        rep = replicated(self.mesh)
+        ds = data_sharding(self.mesh, 5)
+        return jax.jit(
+            step,
+            in_shardings=(rep, rep, rep, ds, ds),
+            out_shardings=(rep, rep, rep, rep),
+            donate_argnums=(0, 2),
+        )
+
+    def step_fn(self, gen):
+        """Per-generation jitted step (gen0 disables the soft loss,
+        netvlad_img_sfrs.py:212)."""
+        lam = self.soft_weight if gen > 0 else 0.0
+        key = (gen, lam)
+        if key not in self._steps:
+            self._steps[key] = self._build_step(gen, lam)
+        return self._steps[key]
+
+    def set_epoch_lr(self, opt_state, epoch, step_size, gamma=0.5):
+        return set_learning_rate(
+            opt_state, steplr(self.base_lr, epoch, step_size, gamma)
+        )
+
+    def split_tuple_images(self, images):
+        """(T, 2+neg+pos, H, W, 3) → easy (T, 2+neg), diff (T, 1+pos) views
+        (reference _parse_data, trainers.py:228-233)."""
+        easy = images[:, : self.neg_num + 2]
+        diff = jnp.concatenate(
+            [images[:, :1], images[:, self.neg_num + 2 :]], axis=1
+        )
+        return easy, diff
+
+    def train_epoch(self, params, teacher_params, opt_state, tuple_loader,
+                    gen, print_freq=10, log_prefix=""):
+        from openibl_tpu.utils import AverageMeter
+        import time
+
+        step = self.step_fn(gen)
+        l_hard, l_soft, batch_time = AverageMeter(), AverageMeter(), AverageMeter()
+        end = time.time()
+        for i, images in enumerate(tuple_loader):
+            easy, diff = self.split_tuple_images(jnp.asarray(images))
+            params, opt_state, lh, ls = step(
+                params, teacher_params, opt_state, easy, diff
+            )
+            l_hard.update(float(lh))
+            l_soft.update(float(ls))
+            batch_time.update(time.time() - end)
+            end = time.time()
+            if (i + 1) % print_freq == 0:
+                print(
+                    f"{log_prefix}[{i + 1}/{len(tuple_loader)}] "
+                    f"Time {batch_time.val:.3f} ({batch_time.avg:.3f}) "
+                    f"Loss_hard {l_hard.val:.3f} ({l_hard.avg:.3f}) "
+                    f"Loss_soft {l_soft.val:.3f} ({l_soft.avg:.3f})"
+                )
+        return params, opt_state, (l_hard.avg, l_soft.avg)

@@ -1,0 +1,161 @@
+"""Baseline trainer: triplet / SARE with hard-negative mining, data-parallel.
+
+TPU-native redesign of the reference Trainer + outer loop
+(/root/reference/ibl/trainers.py:11-162, examples/netvlad_img.py:174-210):
+
+  * one jitted train step: tuples (T, 2+neg, H, W, 3) sharded over the mesh's
+    'data' axis, params replicated — XLA inserts the gradient psum that DDP's
+    all-reduce performed (SURVEY.md §5);
+  * optax SGD(momentum) + decoupled-as-in-torch L2 weight decay, masked by the
+    backbone freeze (models.vgg.trainable_mask);
+  * StepLR(gamma) via an injected learning-rate hyperparameter;
+  * the mining pass reuses the evaluator's sharded extraction — the gallery
+    descriptors stay HBM-resident between mining and training phases.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from openibl_tpu.ops.losses import tuple_loss
+from openibl_tpu.parallel.mesh import data_sharding, replicated
+
+
+def make_optimizer(lr, momentum=0.9, weight_decay=1e-3, trainable_mask=None):
+    """SGD matching torch.optim.SGD(lr, momentum, weight_decay): L2 penalty
+    added to the gradient BEFORE the momentum buffer (netvlad_img.py:164-166).
+    Frozen params receive no update at all (requires_grad filter)."""
+    tx = optax.inject_hyperparams(
+        lambda learning_rate: optax.chain(
+            optax.add_decayed_weights(weight_decay),
+            optax.trace(decay=momentum, nesterov=False),
+            optax.scale_by_learning_rate(learning_rate),
+        )
+    )(learning_rate=lr)
+    if trainable_mask is not None:
+        # NB: optax.masked passes the complement's updates through UNCHANGED
+        # (raw gradients would be applied to frozen params) — frozen leaves
+        # must be explicitly zeroed.
+        labels = jax.tree.map(
+            lambda t: "train" if t else "freeze", trainable_mask
+        )
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()}, labels
+        )
+    return tx
+
+
+def set_learning_rate(opt_state, lr):
+    """StepLR: update the injected learning rate in the optimizer state."""
+
+    def visit(state):
+        if hasattr(state, "hyperparams") and "learning_rate" in state.hyperparams:
+            state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+            return True
+        if isinstance(state, dict):
+            return any(visit(s) for s in state.values())
+        if isinstance(state, tuple):
+            return any(visit(s) for s in state)
+        found = False
+        for attr in ("inner_state", "inner_states"):
+            inner = getattr(state, attr, None)
+            if inner is not None:
+                found = visit(inner) or found
+        return found
+
+    if not visit(opt_state):
+        raise ValueError("no injected learning_rate found in optimizer state")
+    return opt_state
+
+
+def steplr(base_lr, epoch, step_size, gamma=0.5):
+    """torch StepLR schedule value at ``epoch``."""
+    return base_lr * (gamma ** (epoch // step_size))
+
+
+class Trainer:
+    """Owns the jitted train step; state (params, opt_state) stays functional."""
+
+    def __init__(self, model, loss_type="triplet", margin=np.sqrt(0.1),
+                 lr=1e-3, momentum=0.9, weight_decay=1e-3, mesh=None,
+                 use_pool_feature=False):
+        self.model = model
+        self.loss_type = loss_type
+        self.margin = float(margin)
+        self.mesh = mesh
+        self.use_pool_feature = use_pool_feature  # --vlad off path (C7 :70-80)
+        self.base_lr = lr
+        self._tx_factory = lambda mask: make_optimizer(
+            lr, momentum, weight_decay, mask
+        )
+        self.tx = None
+        self._step = None
+
+    def init(self, params):
+        mask = None
+        if hasattr(self.model, "trainable_mask"):
+            mask = self.model.trainable_mask(params)
+        self.tx = self._tx_factory(mask)
+        opt_state = self.tx.init(params)
+        self._step = self._build_step()
+        return opt_state
+
+    def _loss_fn(self, params, images):
+        t, g = images.shape[:2]
+        flat = images.reshape((t * g,) + images.shape[2:])
+        pool_x, vlad_x = self.model.apply(params, flat)
+        desc = pool_x if self.use_pool_feature else vlad_x
+        if self.use_pool_feature:
+            from openibl_tpu.utils import l2_normalize
+
+            desc = l2_normalize(desc, axis=-1)
+        desc = desc.reshape(t, g, -1)
+        return tuple_loss(desc, self.loss_type, self.margin)
+
+    def _build_step(self):
+        def step(params, opt_state, images):
+            loss, grads = jax.value_and_grad(self._loss_fn)(params, images)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        if self.mesh is None:
+            return jax.jit(step, donate_argnums=(0, 1))
+        rep = replicated(self.mesh)
+        return jax.jit(
+            step,
+            in_shardings=(rep, rep, data_sharding(self.mesh, 5)),
+            out_shardings=(rep, rep, rep),
+            donate_argnums=(0, 1),
+        )
+
+    def set_epoch_lr(self, opt_state, epoch, step_size, gamma=0.5):
+        return set_learning_rate(
+            opt_state, steplr(self.base_lr, epoch, step_size, gamma)
+        )
+
+    def train_epoch(self, params, opt_state, tuple_loader, print_freq=10,
+                    log_prefix=""):
+        """One pass over the mined tuples. Returns (params, opt_state, avg)."""
+        from openibl_tpu.utils import AverageMeter
+        import time
+
+        losses, batch_time = AverageMeter(), AverageMeter()
+        end = time.time()
+        for i, images in enumerate(tuple_loader):
+            params, opt_state, loss = self._step(
+                params, opt_state, jnp.asarray(images)
+            )
+            losses.update(float(loss))
+            batch_time.update(time.time() - end)
+            end = time.time()
+            if (i + 1) % print_freq == 0:
+                print(
+                    f"{log_prefix}[{i + 1}/{len(tuple_loader)}] "
+                    f"Time {batch_time.val:.3f} ({batch_time.avg:.3f}) "
+                    f"Loss {losses.val:.3f} ({losses.avg:.3f})"
+                )
+        return params, opt_state, losses.avg

@@ -1,0 +1,62 @@
+"""Inference hub API: the vgg16_netvlad single-image descriptor model.
+
+Mirrors the reference torch.hub surface (/root/reference/hubconf.py:5-11):
+VGG16 + NetVLAD + PCA-whitening to a 4096-d L2-normalized descriptor for one
+480x640 image. Weights come from a released torch checkpoint (converted) or
+one of our own checkpoints; no-weight construction gives random init.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from openibl_tpu import models
+from openibl_tpu.data.transforms import TestTransform
+
+
+def vgg16_netvlad(pretrained=None, num_clusters=64, pca_dim=4096):
+    """Build the inference model.
+
+    Args:
+      pretrained: path to weights — a torch .pth/.pth.tar state dict (the
+        released vgg16_netvlad.pth, converted on the fly) or one of our .npz
+        checkpoints. None → random init.
+    Returns: (model, params).
+    """
+    model = models.create(
+        "embednetpca",
+        net_vlad=models.NetVLAD(num_clusters=num_clusters),
+        pca_dim=pca_dim,
+    )
+    if pretrained is None:
+        params = model.init(jax.random.PRNGKey(0))
+    elif str(pretrained).endswith(".npz"):
+        from openibl_tpu.utils.checkpoint import load_checkpoint
+
+        params, _ = load_checkpoint(pretrained, model.init(jax.random.PRNGKey(0)))
+    else:
+        import torch
+
+        from openibl_tpu.models import convert
+
+        state = torch.load(pretrained, map_location="cpu", weights_only=False)
+        if isinstance(state, dict) and "state_dict" in state:
+            state = state["state_dict"]
+        params = convert.embednetpca_params_from_torch(state)
+    return model, params
+
+
+class DescriptorExtractor:
+    """Convenience wrapper: PIL image(s) → 4096-d descriptors
+    (the examples/extract.py flow, reference extract.py:6-23)."""
+
+    def __init__(self, pretrained=None, height=480, width=640):
+        self.model, self.params = vgg16_netvlad(pretrained)
+        self.transform = TestTransform(height, width)
+        self._fwd = jax.jit(self.model.apply)
+
+    def __call__(self, images):
+        if not isinstance(images, (list, tuple)):
+            images = [images]
+        batch = np.stack([self.transform(img) for img in images])
+        return np.asarray(self._fwd(self.params, jnp.asarray(batch)))

@@ -1,0 +1,98 @@
+"""Hermetic end-to-end pipeline tests on the synthetic dataset (CPU, tiny
+shapes): full baseline training loop and one SFRS generation step, exercising
+mining → training → eval → PCA → checkpointing as one flow."""
+
+import os.path as osp
+
+import numpy as np
+import pytest
+
+from openibl_tpu.config import TrainConfig, SFRSConfig, DataConfig
+from openibl_tpu.engine import pipeline
+
+
+def _cfg(tmp_path, cls=TrainConfig, **kw):
+    defaults = dict(
+        data=DataConfig(
+            dataset="synthetic", scale=None,
+            data_dir=str(tmp_path / "data"),
+            height=32, width=48, test_batch_size=8,
+        ),
+        num_clusters=8,
+        loss_type="sare_ind",
+        tuple_size=1,
+        neg_num=2,
+        neg_pool=5,
+        cache_size=4,
+        epochs=1,
+        eval_step=1,
+        pca_dim=16,
+        logs_dir=str(tmp_path / "logs"),
+        init_dir=str(tmp_path / "logs"),
+        print_freq=100,
+        seed=0,
+    )
+    defaults.update(kw)
+    return cls(**defaults)
+
+
+class TestBaselineE2E:
+    def test_full_training_loop(self, tmp_path):
+        cfg = _cfg(tmp_path)
+        params, recalls, history = pipeline.run_baseline_training(
+            cfg, verbose=False
+        )
+        # synthetic places are trivially separable: planted structure must
+        # survive the full pipeline (descriptor → PCA → retrieval)
+        assert len(recalls) == 3
+        assert recalls[2] >= recalls[1] >= recalls[0] >= 0.0
+        assert history, "no eval ran"
+        # checkpoints written, best tracked
+        assert osp.isfile(osp.join(cfg.logs_dir, "model_best.npz"))
+        assert osp.isfile(osp.join(cfg.logs_dir, "checkpoint0.npz"))
+        assert osp.isfile(osp.join(cfg.logs_dir, "pca_params_model_best.h5"))
+
+    def test_resume(self, tmp_path):
+        cfg = _cfg(tmp_path)
+        pipeline.run_baseline_training(cfg, verbose=False)
+        cfg2 = _cfg(tmp_path, epochs=2, resume=str(
+            osp.join(cfg.logs_dir, "checkpoint0.npz")
+        ))
+        params, recalls, history = pipeline.run_baseline_training(
+            cfg2, verbose=False
+        )
+        # resumed from epoch 1: only epoch 1 runs
+        assert [e for e, _ in history] == [1]
+
+
+class TestSFRSE2E:
+    def test_two_generations(self, tmp_path):
+        cfg = _cfg(
+            tmp_path, cls=SFRSConfig,
+            data=DataConfig(
+                dataset="synthetic", scale=None,
+                data_dir=str(tmp_path / "data"),
+                height=64, width=64, test_batch_size=8,
+            ),
+            generations=2, epochs=1, pos_num=2, pos_pool=3,
+            temperature=(0.07, 0.05),
+        )
+        params, recalls = pipeline.run_sfrs_training(cfg, verbose=False)
+        assert len(recalls) == 3
+        assert osp.isfile(osp.join(cfg.logs_dir, "checkpoint1_0.npz"))
+
+
+class TestEvalEntry:
+    def test_run_eval_on_checkpoint(self, tmp_path):
+        from openibl_tpu.config import EvalConfig
+
+        cfg = _cfg(tmp_path)
+        pipeline.run_baseline_training(cfg, verbose=False)
+        ecfg = EvalConfig(
+            data=cfg.data,
+            checkpoint=osp.join(cfg.logs_dir, "model_best.npz"),
+            reduction=False,
+            num_clusters=8,
+        )
+        recalls = pipeline.run_eval(ecfg, verbose=False)
+        assert len(recalls) == 3
