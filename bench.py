@@ -30,6 +30,8 @@ def main():
     p.add_argument("--quick", action="store_true", help="small sweep")
     p.add_argument("--dtype", type=str, default="bfloat16",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--no-fused", action="store_true",
+                   help="disable the fused Pallas NetVLAD head")
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args()
 
@@ -39,10 +41,11 @@ def main():
     from openibl_tpu import models
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    fused = jax.default_backend() == "tpu" and not args.no_fused
     model = models.create(
         "embednetpca",
         base=models.VGG16(compute_dtype=dtype),
-        net_vlad=models.NetVLAD(num_clusters=64),
+        net_vlad=models.NetVLAD(num_clusters=64, fused=fused),
         pca_dim=4096,
     )
     params = model.init(jax.random.PRNGKey(0))

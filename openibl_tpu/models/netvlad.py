@@ -187,6 +187,10 @@ class EmbedNet:
 
     def apply(self, params, images):
         pool_x, fmap = self.base.apply(params["base"], images)
+        if self.net_vlad.fused:
+            from openibl_tpu.ops.netvlad_kernel import netvlad_descriptor_fused
+
+            return pool_x, netvlad_descriptor_fused(params["vlad"], fmap)
         vlad = self.net_vlad.apply(params["vlad"], fmap)
         return pool_x, vlad_postprocess(vlad)
 
@@ -220,8 +224,13 @@ class EmbedNetPCA:
 
     def apply(self, params, images):
         _, fmap = self.base.apply(params["base"], images)
-        vlad = self.net_vlad.apply(params["vlad"], fmap)
-        desc = vlad_postprocess(vlad)
+        if self.net_vlad.fused:
+            from openibl_tpu.ops.netvlad_kernel import netvlad_descriptor_fused
+
+            desc = netvlad_descriptor_fused(params["vlad"], fmap)
+        else:
+            vlad = self.net_vlad.apply(params["vlad"], fmap)
+            desc = vlad_postprocess(vlad)
         return pca_layer_apply(params["pca"], desc)
 
 
@@ -300,6 +309,10 @@ class EmbedRegionNet:
     def apply(self, params, images):
         """Eval forward: (pool_x, 32768-d descriptor)."""
         pool_x, fmap = self.base.apply(params["base"], images)
+        if self.net_vlad.fused:
+            from openibl_tpu.ops.netvlad_kernel import netvlad_descriptor_fused
+
+            return pool_x, netvlad_descriptor_fused(params["vlad"], fmap)
         vlad = self.net_vlad.apply(params["vlad"], fmap)
         return pool_x, vlad_postprocess(vlad)
 
