@@ -183,9 +183,12 @@ def run_baseline_training(cfg, mesh=None, verbose=True):
     start_epoch, best_recall5 = 0, 0.0
     if cfg.resume:
         loaded, meta = load_checkpoint(
-            cfg.resume, {"params": params, "opt_state": opt_state}
+            cfg.resume,
+            {"params": params, "opt_state": opt_state,
+             "neg_cache": sampler.neg_cache},
         )
         params, opt_state = loaded["params"], loaded["opt_state"]
+        sampler.neg_cache = np.asarray(loaded["neg_cache"])
         start_epoch = int(meta.get("epoch", -1)) + 1
         best_recall5 = float(meta.get("best_recall5", 0.0))
 
@@ -229,7 +232,8 @@ def run_baseline_training(cfg, mesh=None, verbose=True):
             best_recall5 = max(recalls[1], best_recall5)
             save_checkpoint(
                 osp.join(cfg.logs_dir, f"checkpoint{epoch}.npz"),
-                {"params": params, "opt_state": opt_state},
+                {"params": params, "opt_state": opt_state,
+                 "neg_cache": sampler.neg_cache},
                 {"epoch": epoch, "best_recall5": float(best_recall5)},
                 is_best=is_best,
             )
@@ -377,7 +381,8 @@ def run_sfrs_training(cfg, mesh=None, verbose=True):
             best_recall5 = max(recalls[1], best_recall5)
             save_checkpoint(
                 osp.join(cfg.logs_dir, f"checkpoint{gen}_{epoch}.npz"),
-                {"params": params, "opt_state": opt_state},
+                {"params": params, "opt_state": opt_state,
+                 "neg_cache": sampler.neg_cache},
                 {"epoch": epoch, "generation": gen,
                  "best_recall5": float(best_recall5)},
                 is_best=is_best,
