@@ -28,6 +28,7 @@ class TrainConfig:
     train_layers: str = "conv5"
     num_clusters: int = 64
     loss_type: str = "triplet"  # triplet | sare_ind | sare_joint
+    use_vlad: bool = True  # False trains on the global max-pool feature
     margin_sq: float = 0.1  # margin = sqrt(margin_sq)
     tuple_size: int = 1  # tuples per train step (shard over mesh)
     neg_num: int = 10

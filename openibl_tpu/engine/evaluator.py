@@ -91,13 +91,15 @@ class Evaluator:
     """Binds a model apply fn + mesh; evaluates loaders end to end
     (reference Evaluator, evaluators.py:171-201)."""
 
-    def __init__(self, apply_fn, mesh=None):
+    def __init__(self, apply_fn, mesh=None, feature="vlad"):
         self.apply_fn = apply_fn
         self.mesh = mesh
+        self.feature = feature
 
     def extract(self, params, loader, pca=None, verbose=False):
         return extract_features(self.apply_fn, params, loader,
-                                mesh=self.mesh, pca=pca, verbose=verbose)
+                                mesh=self.mesh, pca=pca,
+                                feature=self.feature, verbose=verbose)
 
     def evaluate(self, params, query_loader, gallery_loader, ground_truth,
                  gallery_pids=None, pca=None, topk=(1, 5, 10), nms=False,

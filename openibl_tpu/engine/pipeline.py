@@ -166,11 +166,13 @@ def run_baseline_training(cfg, mesh=None, verbose=True):
     dataset = load_dataset(cfg)
     sources = make_sources(cfg, dataset)
     model, params = build_model(cfg, dataset)
-    evaluator = Evaluator(model.apply, mesh=mesh)
+    feature = "vlad" if getattr(cfg, "use_vlad", True) else "pool"
+    evaluator = Evaluator(model.apply, mesh=mesh, feature=feature)
 
     trainer = Trainer(
         model, loss_type=cfg.loss_type, margin=cfg.margin, lr=cfg.lr,
         momentum=cfg.momentum, weight_decay=cfg.weight_decay, mesh=mesh,
+        use_pool_feature=not getattr(cfg, "use_vlad", True),
     )
     opt_state = trainer.init(params)
 
@@ -204,12 +206,12 @@ def run_baseline_training(cfg, mesh=None, verbose=True):
             # mining: fresh gallery + subset-anchor descriptors
             g_feats = extract_features(
                 model.apply, params, BatchLoader(sources["db_train"], batch_size=bs),
-                mesh=mesh,
+                mesh=mesh, feature=feature,
             )
             q_feats = extract_features(
                 model.apply, params,
                 BatchLoader(sources["q_train"], indices=subset, batch_size=bs),
-                mesh=mesh,
+                mesh=mesh, feature=feature,
             )
             tuples = sampler.refresh(q_feats, g_feats, subset)
             loader = TupleLoader(sources["tuple"], tuples, cfg.tuple_size)

@@ -17,19 +17,22 @@ from openibl_tpu.utils import l2_normalize
 
 
 def make_extract_fn(apply_fn, mesh=None, pca_proj=None, pca_bias=None,
-                    l2norm=True):
+                    l2norm=True, feature="vlad"):
     """Build a jitted (params, images) -> descriptors function.
 
     ``apply_fn`` returns either descriptors or a (pool, desc) tuple (the
-    EmbedNet convention). Output is L2-normalized (idempotent for already
-    normalized descriptors, matching extract_cnn_feature, evaluators.py:22-34)
-    and optionally PCA-projected on device (evaluators.py:56-57).
+    EmbedNet convention); ``feature`` selects "vlad" (desc) or "pool" — the
+    reference's --vlad flag (extract_cnn_feature, evaluators.py:22-34).
+    Output is L2-normalized and optionally PCA-projected on device
+    (evaluators.py:56-57).
     """
+    if feature not in ("vlad", "pool"):
+        raise ValueError(f"feature must be 'vlad' or 'pool', got {feature!r}")
 
     def fwd(params, images):
         out = apply_fn(params, images)
         if isinstance(out, tuple):
-            out = out[1]
+            out = out[0] if feature == "pool" else out[1]
         if l2norm:
             out = l2_normalize(out, axis=-1)
         if pca_proj is not None:
@@ -48,26 +51,74 @@ def make_extract_fn(apply_fn, mesh=None, pca_proj=None, pca_bias=None,
 
 
 def extract_features(apply_fn, params, loader, mesh=None, pca=None,
-                     feature_dim=None, verbose=False):
+                     feature="vlad", verbose=False, sort=True):
     """Extract descriptors for every item the loader yields.
 
     loader yields (images (B, H, W, 3), indices, count) — BatchLoader
-    contract. Returns (N, D) numpy array ordered by the loader's indices.
+    contract. Returns (N, D) numpy array ordered by ascending loader index
+    (``sort=True``) or in emission order (``sort=False``, used for
+    positional multi-host reassembly).
     """
     pca_proj = pca_bias = None
     if pca is not None:
         if not pca.loaded:
             pca.load()
         pca_proj, pca_bias = pca._proj, pca._bias
-    fn = make_extract_fn(apply_fn, mesh=mesh, pca_proj=pca_proj, pca_bias=pca_bias)
+    fn = make_extract_fn(apply_fn, mesh=mesh, pca_proj=pca_proj,
+                         pca_bias=pca_bias, feature=feature)
+    n_dev = mesh.size if mesh is not None else 1
 
     chunks, orders = [], []
     for i, (images, idx, count) in enumerate(loader):
+        # data-sharded dim 0 must divide the mesh: pad by repetition
+        pad = (-len(images)) % n_dev
+        if pad:
+            images = np.concatenate([images, np.repeat(images[-1:], pad, 0)])
         out = fn(params, jnp.asarray(images))
         chunks.append(np.asarray(out)[:count])
         orders.append(np.asarray(idx)[:count])
         if verbose and (i + 1) % 10 == 0:
             print(f"  extract [{i + 1}/{len(loader)}]")
     feats = np.concatenate(chunks)
+    if not sort:
+        return feats
     order = np.concatenate(orders)
     return feats[np.argsort(order, kind="stable")]  # ascending dataset order
+
+
+def extract_features_sharded(apply_fn, params, source, indices=None,
+                             batch_size=32, mesh=None, pca=None,
+                             feature="vlad", verbose=False):
+    """Multi-host-aware extraction.
+
+    Single process: one sharded-over-mesh pass. Multi-host (DCN): each process
+    extracts its contiguous slice (data.sampler.slice_indices — same
+    reassembly convention as the reference's DistributedSliceSampler +
+    broadcast, evaluators.py:88-101) and features are all-gathered across
+    hosts. Returns (N, D) in dataset order on every host.
+    """
+    import jax as _jax
+
+    from openibl_tpu.data.loader import BatchLoader
+    from openibl_tpu.data.sampler import slice_indices
+
+    if indices is None:
+        indices = np.arange(len(source))
+    indices = np.asarray(indices)
+    n_proc = _jax.process_count()
+    if n_proc == 1:
+        loader = BatchLoader(source, indices, batch_size)
+        return extract_features(apply_fn, params, loader, mesh=mesh, pca=pca,
+                                feature=feature, verbose=verbose)
+
+    mine = slice_indices(len(indices), n_proc, _jax.process_index())
+    loader = BatchLoader(source, indices[mine], batch_size)
+    # emission order (sort=False): positional reassembly — the wrap-around
+    # padding on the last shard makes index-sorted order wrong here
+    local = extract_features(apply_fn, params, loader, mesh=mesh, pca=pca,
+                             feature=feature, verbose=verbose, sort=False)
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather(local)  # (n_proc, per, D)
+    feats = np.asarray(gathered).reshape(-1, local.shape[-1])
+    return feats[: len(indices)]

@@ -91,3 +91,50 @@ def test_shard_batch_places_on_mesh(rng):
     batch = rng.randn(16, 4).astype(np.float32)
     out = shard_batch(mesh, batch)
     assert out.sharding.spec == jax.sharding.PartitionSpec("data", None)
+
+
+def test_extract_features_sharded_single_process(rng):
+    """extract_features_sharded must match the plain path (single process) and
+    handle explicit index subsets."""
+    from openibl_tpu.parallel.extract import extract_features_sharded
+
+    class ArraySource:
+        def __init__(self, arr):
+            self.arr = arr
+
+        def __len__(self):
+            return len(self.arr)
+
+        def load(self, i):
+            return self.arr[i]
+
+    model = models.create("embednet", net_vlad=NetVLAD(num_clusters=4, dim=512))
+    params = model.init(jax.random.PRNGKey(0))
+    images = rng.randn(11, 32, 32, 3).astype(np.float32) * 20
+    src = ArraySource(images)
+    all_feats = extract_features_sharded(model.apply, params, src, batch_size=4)
+    assert all_feats.shape == (11, 2048)
+    sub = np.array([3, 7, 1])
+    sub_feats = extract_features_sharded(
+        model.apply, params, src, indices=sub, batch_size=4
+    )
+    np.testing.assert_allclose(sub_feats, all_feats[np.sort(sub)], rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_pool_feature_extraction(rng):
+    """feature='pool' returns the normalized global max-pool vector
+    (the reference's --vlad off path)."""
+    from openibl_tpu.parallel.extract import extract_features
+
+    model = models.create("embednet", net_vlad=NetVLAD(num_clusters=4, dim=512))
+    params = model.init(jax.random.PRNGKey(0))
+    images = rng.randn(4, 32, 32, 3).astype(np.float32) * 20
+    feats = extract_features(
+        model.apply, params, FakeLoader(images, 4), feature="pool"
+    )
+    assert feats.shape == (4, 512)
+    pool, _ = model.apply(params, jnp.asarray(images))
+    pool = np.array(pool)  # writable copy
+    pool /= np.linalg.norm(pool, axis=1, keepdims=True)
+    np.testing.assert_allclose(feats, pool, rtol=1e-4, atol=1e-5)
