@@ -75,17 +75,26 @@ def _shift_hue(img: Image.Image, shift):
 
 
 class TrainTransform:
-    """ColorJitter + fixed resize + normalize (reference get_transformer_train)."""
+    """ColorJitter + fixed resize + normalize (reference get_transformer_train).
 
-    def __init__(self, height=480, width=640, jitter=True, seed=None):
+    ``device_normalize=True`` returns raw uint8 pixels (4x smaller
+    host→device transfers); the models subtract the mean on device
+    (vgg16_apply) — numerically identical.
+    """
+
+    def __init__(self, height=480, width=640, jitter=True, seed=None,
+                 device_normalize=False):
         self.height, self.width = height, width
         self.jitter = jitter
         self.rng = random.Random(seed)
+        self.device_normalize = device_normalize
 
     def __call__(self, img: Image.Image) -> np.ndarray:
         if self.jitter:
             img = color_jitter(img, self.rng)
         img = resize(img, self.height, self.width)
+        if self.device_normalize:
+            return np.asarray(img, np.uint8)
         return normalize_pixels(img)
 
 
@@ -93,13 +102,17 @@ class TestTransform:
     """Fixed resize (or Tokyo shorter-side resize) + normalize
     (reference get_transformer_test)."""
 
-    def __init__(self, height=480, width=640, tokyo=False):
+    def __init__(self, height=480, width=640, tokyo=False,
+                 device_normalize=False):
         self.height, self.width = height, width
         self.tokyo = tokyo
+        self.device_normalize = device_normalize
 
     def __call__(self, img: Image.Image) -> np.ndarray:
         if self.tokyo:
             img = resize_shorter(img, max(self.height, self.width))
         else:
             img = resize(img, self.height, self.width)
+        if self.device_normalize:
+            return np.asarray(img, np.uint8)
         return normalize_pixels(img)

@@ -135,8 +135,11 @@ def build_model(cfg, dataset, region=False, tuple_size=None, rng_seed=0):
 
 
 def make_sources(cfg, dataset):
-    train_tf = TrainTransform(cfg.data.height, cfg.data.width)
-    test_tf = TestTransform(cfg.data.height, cfg.data.width)
+    # uint8 images, mean subtraction on device: 4x less H2D traffic
+    train_tf = TrainTransform(cfg.data.height, cfg.data.width,
+                              device_normalize=True)
+    test_tf = TestTransform(cfg.data.height, cfg.data.width,
+                            device_normalize=True)
     train_items = dataset.q_train + dataset.db_train
     return {
         "tuple": ImageSource(train_items, dataset.images_dir, train_tf),

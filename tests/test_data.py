@@ -178,3 +178,25 @@ class TestSamplers:
         assert all(len(o) == 3 for o in out)
         flat = np.concatenate(out)
         assert set(flat.tolist()) == set(range(10))
+
+
+class TestDeviceNormalize:
+    def test_uint8_path_matches_f32(self):
+        """uint8 transform + on-device mean subtraction must equal the host
+        f32 normalization exactly (pixels are integers)."""
+        import jax.numpy as jnp
+
+        from openibl_tpu.models.vgg import vgg16_apply, init_vgg16_params
+        import jax
+
+        rng = np.random.RandomState(0)
+        img = Image.fromarray(rng.randint(0, 255, (32, 48, 3), np.uint8))
+        f32 = T.TestTransform(32, 48)(img)
+        u8 = T.TestTransform(32, 48, device_normalize=True)(img)
+        assert u8.dtype == np.uint8
+        params = init_vgg16_params(jax.random.PRNGKey(0))
+        _, fmap_f32 = vgg16_apply(params, jnp.asarray(f32[None]))
+        _, fmap_u8 = vgg16_apply(params, jnp.asarray(u8[None]))
+        np.testing.assert_allclose(
+            np.asarray(fmap_u8), np.asarray(fmap_f32), rtol=1e-5, atol=1e-5
+        )
