@@ -118,3 +118,59 @@ class TupleLoader:
 
     def __iter__(self):
         return _prefetch(self._gen(), self.prefetch_depth)
+
+
+class GroupedBatchLoader:
+    """Batches items grouped by transformed image shape.
+
+    For Tokyo 24/7's aspect-preserving query resize the reference falls back
+    to batch size 1 (/root/reference/examples/test.py:44-46); grouping by
+    shape keeps batching (one jit specialization per distinct shape instead
+    of per image).
+    """
+
+    def __init__(self, source: ImageSource, indices=None, batch_size=32,
+                 prefetch=2):
+        self.source = source
+        self.indices = (
+            np.arange(len(source)) if indices is None else np.asarray(indices)
+        )
+        self.batch_size = batch_size
+        self.prefetch_depth = prefetch
+        self._groups = None
+
+    def _ensure_groups(self):
+        if self._groups is not None:
+            return
+        groups = {}
+        self._cache = {}
+        for i in self.indices:
+            img = self.source.load(int(i))
+            groups.setdefault(img.shape, []).append(int(i))
+            self._cache[int(i)] = img
+        self._groups = groups
+
+    def __len__(self):
+        self._ensure_groups()
+        return sum(
+            -(-len(g) // self.batch_size) for g in self._groups.values()
+        )
+
+    def _gen(self):
+        self._ensure_groups()
+        bs = self.batch_size
+        for shape, idx_list in self._groups.items():
+            for s in range(0, len(idx_list), bs):
+                idx = np.asarray(idx_list[s : s + bs])
+                count = len(idx)
+                if count < bs:
+                    idx = np.concatenate([idx, np.repeat(idx[-1:], bs - count)])
+                imgs = np.stack(
+                    [self._cache.pop(int(i), None)
+                     if int(i) in self._cache else self.source.load(int(i))
+                     for i in idx]
+                )
+                yield imgs, idx, count
+
+    def __iter__(self):
+        return _prefetch(self._gen(), self.prefetch_depth)

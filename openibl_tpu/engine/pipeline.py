@@ -301,7 +301,7 @@ def run_sfrs_training(cfg, mesh=None, verbose=True):
     sources = make_sources(cfg, dataset)
     model, params = build_model(cfg, dataset, region=True)
     pristine = jax.tree.map(np.asarray, params)  # re-init source per gen
-    teacher = jax.tree.map(jnp.asarray, params)
+    teacher = jax.tree.map(jnp.array, params)  # real copy (params get donated)
     evaluator = Evaluator(model.apply, mesh=mesh)
 
     trainer = SFRSTrainer(
@@ -322,8 +322,9 @@ def run_sfrs_training(cfg, mesh=None, verbose=True):
     best_recall5 = 0.0
     for gen in range(cfg.generations):
         # teacher ← student; student re-initializes; fresh optimizer
-        # (netvlad_img_sfrs.py:177-188)
-        teacher = jax.tree.map(jnp.asarray, params)
+        # (netvlad_img_sfrs.py:177-188). jnp.array copies: the train step
+        # donates the student while the teacher must stay alive.
+        teacher = jax.tree.map(jnp.array, params)
         params = jax.tree.map(jnp.asarray, pristine)
         opt_state = trainer.init_generation(params)
         start_epoch = cfg.epochs - 1 if gen == 0 else 0
@@ -443,11 +444,20 @@ def run_eval(cfg, mesh=None, train_cfg=None, verbose=True):
         pca = pca_ops.PCA(cfg.pca_dim, whiten=True, params_path=cfg.pca_params)
 
     bs = cfg.data.test_batch_size
-    q_batch = 1 if cfg.data.dataset == "tokyo" else bs  # variable query sizes
-    evaluator = Evaluator(model.apply, mesh=None if q_batch == 1 else mesh)
+    if cfg.data.dataset == "tokyo":
+        # variable query sizes: batch same-shape queries together (one jit
+        # specialization per distinct shape; no mesh sharding since group
+        # sizes vary)
+        from openibl_tpu.data.loader import GroupedBatchLoader
+
+        q_loader = GroupedBatchLoader(q_src, batch_size=bs)
+        evaluator = Evaluator(model.apply, mesh=None)
+    else:
+        q_loader = BatchLoader(q_src, batch_size=bs)
+        evaluator = Evaluator(model.apply, mesh=mesh)
     return evaluator.evaluate(
         params,
-        BatchLoader(q_src, batch_size=q_batch),
+        q_loader,
         BatchLoader(db_src, batch_size=bs),
         dataset.test_pos,
         gallery_pids=[it[1] for it in dataset.db_test],

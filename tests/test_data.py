@@ -200,3 +200,27 @@ class TestDeviceNormalize:
         np.testing.assert_allclose(
             np.asarray(fmap_u8), np.asarray(fmap_f32), rtol=1e-5, atol=1e-5
         )
+
+
+class TestGroupedBatchLoader:
+    def test_groups_by_shape(self, tmp_path):
+        from openibl_tpu.data.loader import GroupedBatchLoader
+
+        rng = np.random.RandomState(0)
+        items = []
+        for i, (h, w) in enumerate([(20, 30), (24, 16), (20, 30), (24, 16),
+                                    (20, 30)]):
+            f = tmp_path / f"im{i}.png"
+            Image.fromarray(rng.randint(0, 255, (h, w, 3), np.uint8)).save(f)
+            items.append((str(f), i, 0.0, 0.0))
+        src = ImageSource(items, transform=None)
+        loader = GroupedBatchLoader(src, batch_size=2)
+        seen = {}
+        total = 0
+        for imgs, idx, count in loader:
+            assert len({imgs[i].shape for i in range(count)}) == 1
+            seen.setdefault(imgs.shape[1:3], 0)
+            seen[imgs.shape[1:3]] += count
+            total += count
+        assert total == 5
+        assert seen == {(20, 30): 3, (24, 16): 2}
