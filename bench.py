@@ -32,6 +32,11 @@ def main():
                    choices=["float32", "bfloat16"])
     p.add_argument("--no-fused", action="store_true",
                    help="disable the fused Pallas NetVLAD head")
+    p.add_argument("--metric", type=str, default="extract",
+                   choices=["extract", "query"],
+                   help="extract = images/sec/chip; query = end-to-end "
+                        "single-query p50 latency vs a 100k-item gallery")
+    p.add_argument("--gallery-size", type=int, default=100_000)
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args()
 
@@ -50,6 +55,39 @@ def main():
     )
     params = model.init(jax.random.PRNGKey(0))
     fwd = jax.jit(model.apply)
+
+    if args.metric == "query":
+        # end-to-end query path: one 480x640 image -> 4096-d descriptor ->
+        # top-10 against an HBM-resident gallery (the serving-latency shape)
+        from openibl_tpu.ops.distance import topk_nearest
+
+        rng = np.random.RandomState(0)
+        gallery = jnp.asarray(
+            rng.randn(args.gallery_size, 4096).astype(np.float32)
+        )
+        img = jnp.asarray(
+            rng.randn(1, args.height, args.width, 3).astype(np.float32) * 40
+        )
+
+        @jax.jit
+        def query(params, img, gallery):
+            desc = model.apply(params, img)
+            return topk_nearest(desc, gallery, k=10, chunk=16384)
+
+        np.asarray(query(params, img, gallery)[1])  # compile + warm
+        times = []
+        for _ in range(max(args.iters, 10)):
+            t0 = time.perf_counter()
+            np.asarray(query(params, img, gallery)[1])
+            times.append(time.perf_counter() - t0)
+        p50 = float(np.median(times)) * 1000
+        print(json.dumps({
+            "metric": f"query_p50_latency_ms_{args.gallery_size}gallery",
+            "value": round(p50, 2),
+            "unit": "ms",
+            "vs_baseline": round((1000.0 / 50.0) / p50, 2),  # vs ~20ms est.
+        }))
+        return
 
     batches = [args.batch_size] if args.batch_size else (
         [8, 16] if args.quick else [16, 32, 64, 128]

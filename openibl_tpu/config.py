@@ -48,6 +48,7 @@ class TrainConfig:
     resume: str = ""
     print_freq: int = 10
     compute_dtype: str = "float32"  # or "bfloat16"
+    remat: bool = False  # rematerialize backbone activations in backward
 
     @property
     def margin(self):

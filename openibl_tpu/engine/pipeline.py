@@ -176,6 +176,7 @@ def run_baseline_training(cfg, mesh=None, verbose=True):
         model, loss_type=cfg.loss_type, margin=cfg.margin, lr=cfg.lr,
         momentum=cfg.momentum, weight_decay=cfg.weight_decay, mesh=mesh,
         use_pool_feature=not getattr(cfg, "use_vlad", True),
+        remat=getattr(cfg, "remat", False),
     )
     opt_state = trainer.init(params)
 
@@ -309,6 +310,7 @@ def run_sfrs_training(cfg, mesh=None, verbose=True):
         temps=cfg.temperature, soft_weight=cfg.soft_weight,
         neg_num=cfg.neg_num, lr=cfg.lr, momentum=cfg.momentum,
         weight_decay=cfg.weight_decay, mesh=mesh,
+        remat=getattr(cfg, "remat", False),
     )
 
     sampler = DiffTupleSampler(

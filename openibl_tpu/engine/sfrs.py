@@ -31,8 +31,10 @@ DEFAULT_TEMPS = (0.07, 0.07, 0.06, 0.05)  # scripts/train_sfrs_dist.sh:27
 class SFRSTrainer:
     def __init__(self, model, loss_type="sare_ind", margin=np.sqrt(0.1),
                  temps=DEFAULT_TEMPS, soft_weight=0.5, neg_num=10,
-                 lr=1e-3, momentum=0.9, weight_decay=1e-3, mesh=None):
+                 lr=1e-3, momentum=0.9, weight_decay=1e-3, mesh=None,
+                 remat=False):
         self.model = model  # EmbedRegionNet
+        self.remat = remat
         self.loss_type = loss_type
         self.margin = float(margin)
         self.temps = tuple(temps)
@@ -57,8 +59,11 @@ class SFRSTrainer:
     def _loss_fn(self, params, teacher_params, easy, diff, gen, lambda_soft):
         t = easy.shape[0]
         flat = lambda x: x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:])
-        sim_easy, vlad_a, vlad_p = self.model.apply_train(params, flat(easy))
-        sim_diff, _, _ = self.model.apply_train(params, flat(diff))
+        apply_train = self.model.apply_train
+        if self.remat:
+            apply_train = jax.checkpoint(apply_train)
+        sim_easy, vlad_a, vlad_p = apply_train(params, flat(easy))
+        sim_diff, _, _ = apply_train(params, flat(diff))
         sim_teacher, _, _ = jax.lax.stop_gradient(
             self.model.apply_train(teacher_params, flat(diff))
         )

@@ -81,12 +81,15 @@ class Trainer:
 
     def __init__(self, model, loss_type="triplet", margin=np.sqrt(0.1),
                  lr=1e-3, momentum=0.9, weight_decay=1e-3, mesh=None,
-                 use_pool_feature=False):
+                 use_pool_feature=False, remat=False):
         self.model = model
         self.loss_type = loss_type
         self.margin = float(margin)
         self.mesh = mesh
         self.use_pool_feature = use_pool_feature  # --vlad off path (C7 :70-80)
+        # rematerialize the backbone forward in the backward pass: trades
+        # ~1/3 more FLOPs for activation memory -> larger tuple batches
+        self.remat = remat
         self.base_lr = lr
         self._tx_factory = lambda mask: make_optimizer(
             lr, momentum, weight_decay, mask
@@ -106,7 +109,10 @@ class Trainer:
     def _loss_fn(self, params, images):
         t, g = images.shape[:2]
         flat = images.reshape((t * g,) + images.shape[2:])
-        pool_x, vlad_x = self.model.apply(params, flat)
+        apply = self.model.apply
+        if self.remat:
+            apply = jax.checkpoint(apply)
+        pool_x, vlad_x = apply(params, flat)
         desc = pool_x if self.use_pool_feature else vlad_x
         if self.use_pool_feature:
             from openibl_tpu.utils import l2_normalize

@@ -203,3 +203,19 @@ class TestCheckpoint:
         bad = {"params": jax.tree.map(lambda x: np.zeros((1,)), params)}
         restored2, _ = load_checkpoint(path, bad)
         assert np.asarray(restored2["params"]["vlad"]["centroids"]).shape == (1,)
+
+
+class TestRemat:
+    def test_remat_step_matches(self, rng):
+        """jax.checkpoint must not change the computed update."""
+        model, params = _tiny_embednet()
+        imgs = jnp.asarray(rng.randn(1, 4, 32, 32, 3).astype(np.float32) * 30)
+        outs = []
+        for remat in (False, True):
+            p = jax.tree.map(jnp.array, params)
+            tr = Trainer(model, loss_type="sare_ind", lr=1e-2, remat=remat)
+            opt = tr.init(p)
+            p2, _, loss = tr._step(p, opt, imgs)
+            outs.append((float(loss), np.asarray(p2["vlad"]["centroids"])))
+        assert abs(outs[0][0] - outs[1][0]) < 1e-6
+        np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-5, atol=1e-7)
