@@ -36,6 +36,10 @@ from openibl_tpu.ops.kmeans import kmeans
 from openibl_tpu.parallel.extract import extract_features
 from openibl_tpu.utils import l2_normalize
 from openibl_tpu.utils.checkpoint import save_checkpoint, load_checkpoint
+from openibl_tpu.utils.watchdog import Watchdog
+
+# warns loudly on hung device phases (tunnel/compile/collective stalls)
+_WATCHDOG = Watchdog(warn_after=600.0)
 
 
 # ---------------------------------------------------------------------------
@@ -208,15 +212,17 @@ def run_baseline_training(cfg, mesh=None, verbose=True):
                            cfg.step_size, cfg.seed)
         ):
             # mining: fresh gallery + subset-anchor descriptors
-            g_feats = extract_features(
-                model.apply, params, BatchLoader(sources["db_train"], batch_size=bs),
-                mesh=mesh, feature=feature,
-            )
-            q_feats = extract_features(
-                model.apply, params,
-                BatchLoader(sources["q_train"], indices=subset, batch_size=bs),
-                mesh=mesh, feature=feature,
-            )
+            with _WATCHDOG.watch(f"mining extraction epoch {epoch}-{subid}"):
+                g_feats = extract_features(
+                    model.apply, params,
+                    BatchLoader(sources["db_train"], batch_size=bs),
+                    mesh=mesh, feature=feature,
+                )
+                q_feats = extract_features(
+                    model.apply, params,
+                    BatchLoader(sources["q_train"], indices=subset, batch_size=bs),
+                    mesh=mesh, feature=feature,
+                )
             tuples = sampler.refresh(q_feats, g_feats, subset)
             loader = TupleLoader(sources["tuple"], tuples, cfg.tuple_size)
             params, opt_state, avg_loss = trainer.train_epoch(

@@ -219,3 +219,24 @@ class TestRemat:
             outs.append((float(loss), np.asarray(p2["vlad"]["centroids"])))
         assert abs(outs[0][0] - outs[1][0]) < 1e-6
         np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-5, atol=1e-7)
+
+
+class TestWatchdog:
+    def test_warns_on_slow_phase(self, capsys):
+        import time
+
+        from openibl_tpu.utils.watchdog import Watchdog
+
+        wd = Watchdog(warn_after=0.05)
+        with wd.watch("slow"):
+            time.sleep(0.18)
+        out = capsys.readouterr().out
+        assert "watchdog" in out and "slow" in out
+
+    def test_silent_on_fast_phase(self, capsys):
+        from openibl_tpu.utils.watchdog import Watchdog
+
+        wd = Watchdog(warn_after=1.0)
+        with wd.watch("fast"):
+            pass
+        assert "watchdog" not in capsys.readouterr().out
