@@ -51,11 +51,28 @@ def recalls_from_ranks(sorted_idx, ground_truth, gallery_pids=None,
 
 def evaluate_descriptors(q_feats, g_feats, ground_truth, gallery_pids=None,
                          topk=(1, 5, 10), nms=False, rerank=False,
-                         rr_topk=25, lambda_value=0, print_results=True):
-    """End-to-end recall from descriptor arrays."""
+                         rr_topk=25, lambda_value=0, print_results=True,
+                         mesh=None):
+    """End-to-end recall from descriptor arrays.
+
+    With ``mesh`` the gallery is sharded across devices and kNN merged over
+    ICI (ops.distance.topk_nearest_sharded) — each device holds G/n rows."""
     k_need = max(topk) * (12 if nms else 1)
-    _, idx = topk_nearest(jnp.asarray(q_feats), jnp.asarray(g_feats),
-                          k=min(k_need, len(g_feats)))
+    if mesh is not None and mesh.size > 1:
+        from openibl_tpu.ops.distance import topk_nearest_sharded
+
+        g = np.asarray(g_feats, np.float32)
+        pad = (-len(g)) % mesh.size
+        if pad:
+            # pad rows far from any unit-norm query (d² would be huge)
+            g = np.concatenate([g, np.full((pad, g.shape[1]), 1e3, np.float32)])
+        _, idx = topk_nearest_sharded(
+            jnp.asarray(q_feats), jnp.asarray(g), mesh,
+            k=min(k_need, len(g_feats)),
+        )
+    else:
+        _, idx = topk_nearest(jnp.asarray(q_feats), jnp.asarray(g_feats),
+                              k=min(k_need, len(g_feats)))
     recalls = recalls_from_ranks(np.asarray(idx), ground_truth, gallery_pids,
                                  topk, nms)
     if print_results:
@@ -109,4 +126,5 @@ class Evaluator:
         return evaluate_descriptors(
             q_feats, g_feats, ground_truth, gallery_pids, topk=topk, nms=nms,
             rerank=rerank, rr_topk=rr_topk, lambda_value=lambda_value,
+            mesh=self.mesh,
         )

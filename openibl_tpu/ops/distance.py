@@ -136,3 +136,56 @@ def rank_positives(q_feats, g_feats, pos_idx, pos_pool=20):
     ranked_d = jnp.take_along_axis(pos_d, order, axis=1)
     ranked = jnp.where(jnp.isfinite(ranked_d), ranked, -1)
     return ranked, ranked_d
+
+
+def topk_nearest_sharded(query, gallery, mesh, k, axis="data", chunk=4096):
+    """k nearest neighbors with the gallery sharded over the mesh.
+
+    The TPU-native answer to the reference's gather-everything eval
+    (evaluators.py:76-101) at Pitts250k scale and beyond (SURVEY.md §5
+    "long-context analog"): each device keeps its gallery shard HBM-resident,
+    computes a local streaming top-k (replicated queries), and the per-device
+    candidate sets are merged with one all-gather of Q x k (dist, index)
+    pairs over ICI — no device ever materializes Q x G.
+
+    Args:
+      query: (Q, D) replicated queries.
+      gallery: (G, D); sharded over ``axis`` (G divisible by mesh size;
+        pad with +inf-distance rows via zero vectors beforehand if needed).
+    Returns:
+      (dists (Q, k), global indices (Q, k)), fully replicated.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = mesh.shape[axis]
+    g_total = gallery.shape[0]
+    if g_total % n_dev:
+        raise ValueError(f"gallery size {g_total} not divisible by {n_dev}")
+    per = g_total // n_dev
+    k_local = min(k, per)
+
+    def local_topk(q, g_shard):
+        # g_shard: (per, D) this device's shard
+        d, idx = topk_nearest(q, g_shard, k=k_local, chunk=min(chunk, per))
+        shard_id = jax.lax.axis_index(axis)
+        idx = idx + shard_id * per  # globalize
+        # merge across devices: all_gather candidate sets, final top-k
+        d_all = jax.lax.all_gather(d, axis, axis=1)  # (Q, n_dev, k_local)
+        i_all = jax.lax.all_gather(idx, axis, axis=1)
+        q_n = d.shape[0]
+        d_flat = d_all.reshape(q_n, -1)
+        i_flat = i_all.reshape(q_n, -1)
+        kk = min(k, d_flat.shape[1])
+        neg_d, pos = jax.lax.top_k(-d_flat, kk)
+        return -neg_d, jnp.take_along_axis(i_flat, pos, axis=1)
+
+    fn = shard_map(
+        local_topk,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None)),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    return jax.jit(fn)(jnp.asarray(query, jnp.float32),
+                       jnp.asarray(gallery, jnp.float32))
