@@ -68,17 +68,30 @@ def extract_features(apply_fn, params, loader, mesh=None, pca=None,
                          pca_bias=pca_bias, feature=feature)
     n_dev = mesh.size if mesh is not None else 1
 
+    # keep a couple of batches in flight: JAX's async dispatch then overlaps
+    # host decode + H2D + D2H with device compute (large win behind
+    # high-latency transports)
+    in_flight = []
+
+    def drain(one=False):
+        while in_flight and (one or len(in_flight) > 2):
+            out, count = in_flight.pop(0)
+            chunks.append(np.asarray(out)[:count])
+            one = False
+
     chunks, orders = [], []
     for i, (images, idx, count) in enumerate(loader):
         # data-sharded dim 0 must divide the mesh: pad by repetition
         pad = (-len(images)) % n_dev
         if pad:
             images = np.concatenate([images, np.repeat(images[-1:], pad, 0)])
-        out = fn(params, jnp.asarray(images))
-        chunks.append(np.asarray(out)[:count])
+        in_flight.append((fn(params, jnp.asarray(images)), count))
         orders.append(np.asarray(idx)[:count])
+        drain()
         if verbose and (i + 1) % 10 == 0:
             print(f"  extract [{i + 1}/{len(loader)}]")
+    while in_flight:
+        drain(one=True)
     feats = np.concatenate(chunks)
     if not sort:
         return feats
