@@ -33,9 +33,10 @@ def main():
     p.add_argument("--no-fused", action="store_true",
                    help="disable the fused Pallas NetVLAD head")
     p.add_argument("--metric", type=str, default="extract",
-                   choices=["extract", "query"],
+                   choices=["extract", "query", "train"],
                    help="extract = images/sec/chip; query = end-to-end "
-                        "single-query p50 latency vs a 100k-item gallery")
+                        "single-query p50 latency vs a 100k-item gallery; "
+                        "train = SARE train-step tuples/sec (12 images each)")
     p.add_argument("--gallery-size", type=int, default=100_000)
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args()
@@ -47,16 +48,19 @@ def main():
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     fused = jax.default_backend() == "tpu" and not args.no_fused
-    model = models.create(
-        "embednetpca",
-        base=models.VGG16(compute_dtype=dtype),
-        net_vlad=models.NetVLAD(num_clusters=64, fused=fused),
-        pca_dim=4096,
-    )
-    params = model.init(jax.random.PRNGKey(0))
-    fwd = jax.jit(model.apply)
+
+    def build_extract_model():
+        model = models.create(
+            "embednetpca",
+            base=models.VGG16(compute_dtype=dtype),
+            net_vlad=models.NetVLAD(num_clusters=64, fused=fused),
+            pca_dim=4096,
+        )
+        params = model.init(jax.random.PRNGKey(0))
+        return model, params, jax.jit(model.apply)
 
     if args.metric == "query":
+        model, params, fwd = build_extract_model()
         # end-to-end query path: one 480x640 image -> 4096-d descriptor ->
         # top-10 against an HBM-resident gallery (the serving-latency shape)
         from openibl_tpu.ops.distance import topk_nearest
@@ -91,6 +95,46 @@ def main():
         }))
         return
 
+    if args.metric == "train":
+        # full SARE train step on the published tuple shape
+        # (anchor + positive + 10 negatives at 480x640)
+        from openibl_tpu.engine.trainer import Trainer
+        from openibl_tpu import models as _m
+
+        tmodel = _m.create(
+            "embednet", base=_m.VGG16(compute_dtype=dtype),
+            net_vlad=_m.NetVLAD(num_clusters=64),
+        )
+        tparams = tmodel.init(jax.random.PRNGKey(0))
+        trainer = Trainer(tmodel, loss_type="sare_ind", lr=1e-3,
+                          remat=True)
+        opt = trainer.init(tparams)
+        t_size = args.batch_size or 1
+        tup = jax.jit(
+            lambda k: jax.random.normal(
+                k, (t_size, 12, args.height, args.width, 3)
+            ) * 40
+        )(jax.random.PRNGKey(1))
+        tparams, opt, loss = trainer._step(tparams, opt, tup)  # compile
+        float(loss)
+        group = max(args.iters // 3, 1)
+        rates = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(group):
+                tparams, opt, loss = trainer._step(tparams, opt, tup)
+            float(loss)  # fence
+            rates.append(t_size * group / (time.perf_counter() - t0))
+        rate = float(np.median(rates))
+        print(json.dumps({
+            "metric": f"sare_train_tuples_per_sec_{args.height}x{args.width}_{args.dtype}",
+            "value": round(rate, 3),
+            "unit": "tuples/sec/chip",
+            "vs_baseline": round(rate / 0.7, 2),  # ~0.7 tuples/s/GPU est.
+        }))
+        return
+
+    model, params, fwd = build_extract_model()
     batches = [args.batch_size] if args.batch_size else (
         [8, 16] if args.quick else [16, 32, 64, 128]
     )

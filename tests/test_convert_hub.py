@@ -102,3 +102,58 @@ class TestKMeans:
         d = ((centers[:, None] - got[None]) ** 2).sum(-1) ** 0.5
         assert (d.min(axis=1) < 0.5).all()
         assert inertia < 0.2 * 8
+
+
+class TestFullChainFidelity:
+    def test_embednetpca_vs_independent_oracle(self, rng):
+        """Full inference chain on converted released-layout weights vs a
+        piecewise oracle: torch conv stack -> naive numpy NetVLAD ->
+        numpy norm chain -> numpy PCA projection. Catches wiring bugs the
+        per-component golden tests can't."""
+        from tests.test_models_golden import naive_netvlad, _np_l2norm
+        from openibl_tpu.hub import vgg16_netvlad
+
+        sd = _fake_released_state(rng, k=4, pca_dim=32)
+        import tempfile, os.path as osp
+
+        tmp = tempfile.mkdtemp()
+        path = osp.join(tmp, "w.pth")
+        torch.save(sd, path)
+        model, params = vgg16_netvlad(path, num_clusters=4, pca_dim=32)
+
+        x = rng.randn(1, 3, 32, 48).astype(np.float32) * 30  # NCHW
+
+        # oracle: torch conv stack (inline, same as torchvision features[:-2])
+        cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+               512, 512, 512, "M", 512, 512, 512]
+        layers, cin = [], 3
+        for v in cfg:
+            if v == "M":
+                layers.append(torch.nn.MaxPool2d(2, 2))
+            else:
+                layers += [torch.nn.Conv2d(cin, v, 3, padding=1),
+                           torch.nn.ReLU()]
+                cin = v
+        features = torch.nn.Sequential(*layers[:-1]).eval()
+        features.load_state_dict(
+            {k[len("base_model.base."):]: v for k, v in sd.items()
+             if k.startswith("base_model.base.")}
+        )
+        with torch.no_grad():
+            fmap = features(torch.from_numpy(x)).numpy()  # (1, 512, 2, 3)
+        fmap_nhwc = fmap.transpose(0, 2, 3, 1)
+        assign_w = sd["net_vlad.conv.weight"].numpy()[:, :, 0, 0].T
+        centroids = sd["net_vlad.centroids"].numpy()
+        vlad = naive_netvlad(fmap_nhwc, assign_w, centroids)  # (1, 4, 512)
+        vlad = _np_l2norm(vlad, axis=-1).reshape(1, -1)
+        vlad = _np_l2norm(vlad, axis=-1)
+        pca_w = sd["pca_layer.weight"].numpy()[:, :, 0, 0]  # (32, 2048)
+        out = vlad @ pca_w.T + sd["pca_layer.bias"].numpy()
+        expect = _np_l2norm(out, axis=-1)
+
+        import jax.numpy as jnp
+
+        ours = np.asarray(
+            model.apply(params, jnp.asarray(x.transpose(0, 2, 3, 1)))
+        )
+        np.testing.assert_allclose(ours, expect, rtol=1e-3, atol=1e-5)
