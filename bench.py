@@ -17,7 +17,14 @@ import time
 
 import numpy as np
 
-REFERENCE_GPU_IMG_PER_SEC = 50.0  # documented estimate, see module docstring
+# Documented estimates of the reference stack's per-GPU rates (torch fp32 on
+# the 11GB-class GPUs its docs assume). Derivations:
+#   extract: VGG16+NetVLAD fwd at 480x640 ~ 50 img/s
+#   train:   fwd+bwd on a 12-image tuple (~3x fwd cost) ~ 0.7 tuples/s
+#   query:   fwd (~20 ms) + CPU 100k-distmat + argsort (~20 ms) ~ 40 ms
+REFERENCE_GPU_IMG_PER_SEC = 50.0
+REFERENCE_GPU_TRAIN_TUPLES_PER_SEC = 0.7
+REFERENCE_GPU_QUERY_MS = 40.0
 
 
 def main():
@@ -91,7 +98,7 @@ def main():
             "metric": f"query_p50_latency_ms_{args.gallery_size}gallery",
             "value": round(p50, 2),
             "unit": "ms",
-            "vs_baseline": round((1000.0 / 50.0) / p50, 2),  # vs ~20ms est.
+            "vs_baseline": round(REFERENCE_GPU_QUERY_MS / p50, 2),
         }))
         return
 
@@ -99,11 +106,10 @@ def main():
         # full SARE train step on the published tuple shape
         # (anchor + positive + 10 negatives at 480x640)
         from openibl_tpu.engine.trainer import Trainer
-        from openibl_tpu import models as _m
 
-        tmodel = _m.create(
-            "embednet", base=_m.VGG16(compute_dtype=dtype),
-            net_vlad=_m.NetVLAD(num_clusters=64),
+        tmodel = models.create(
+            "embednet", base=models.VGG16(compute_dtype=dtype),
+            net_vlad=models.NetVLAD(num_clusters=64),
         )
         tparams = tmodel.init(jax.random.PRNGKey(0))
         trainer = Trainer(tmodel, loss_type="sare_ind", lr=1e-3,
@@ -115,22 +121,22 @@ def main():
                 k, (t_size, 12, args.height, args.width, 3)
             ) * 40
         )(jax.random.PRNGKey(1))
-        tparams, opt, loss = trainer._step(tparams, opt, tup)  # compile
+        tparams, opt, loss = trainer.step(tparams, opt, tup)  # compile
         float(loss)
         group = max(args.iters // 3, 1)
         rates = []
         for _ in range(3):
             t0 = time.perf_counter()
             for _ in range(group):
-                tparams, opt, loss = trainer._step(tparams, opt, tup)
+                tparams, opt, loss = trainer.step(tparams, opt, tup)
             float(loss)  # fence
             rates.append(t_size * group / (time.perf_counter() - t0))
         rate = float(np.median(rates))
         print(json.dumps({
-            "metric": f"sare_train_tuples_per_sec_{args.height}x{args.width}_{args.dtype}",
+            "metric": f"sare_train_tuples_per_sec_{args.height}x{args.width}_{args.dtype}_ts{t_size}",
             "value": round(rate, 3),
             "unit": "tuples/sec/chip",
-            "vs_baseline": round(rate / 0.7, 2),  # ~0.7 tuples/s/GPU est.
+            "vs_baseline": round(rate / REFERENCE_GPU_TRAIN_TUPLES_PER_SEC, 2),
         }))
         return
 

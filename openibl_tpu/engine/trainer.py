@@ -138,6 +138,14 @@ class Trainer:
             donate_argnums=(0, 1),
         )
 
+    def step(self, params, opt_state, images):
+        """One jitted update on a tuple batch (T, 2+neg, H, W, 3).
+
+        Returns (params, opt_state, loss). params/opt_state are donated."""
+        if self._step is None:
+            raise RuntimeError("call init(params) before step()")
+        return self._step(params, opt_state, images)
+
     def set_epoch_lr(self, opt_state, epoch, step_size, gamma=0.5):
         return set_learning_rate(
             opt_state, steplr(self.base_lr, epoch, step_size, gamma)

@@ -105,6 +105,10 @@ class TestKMeans:
 
 
 class TestFullChainFidelity:
+    @pytest.fixture(autouse=True)
+    def _tmp(self, tmp_path):
+        self.tmp_path = tmp_path
+
     def test_embednetpca_vs_independent_oracle(self, rng):
         """Full inference chain on converted released-layout weights vs a
         piecewise oracle: torch conv stack -> naive numpy NetVLAD ->
@@ -114,10 +118,7 @@ class TestFullChainFidelity:
         from openibl_tpu.hub import vgg16_netvlad
 
         sd = _fake_released_state(rng, k=4, pca_dim=32)
-        import tempfile, os.path as osp
-
-        tmp = tempfile.mkdtemp()
-        path = osp.join(tmp, "w.pth")
+        path = str(self.tmp_path / "w.pth")
         torch.save(sd, path)
         model, params = vgg16_netvlad(path, num_clusters=4, pca_dim=32)
 
@@ -150,8 +151,6 @@ class TestFullChainFidelity:
         pca_w = sd["pca_layer.weight"].numpy()[:, :, 0, 0]  # (32, 2048)
         out = vlad @ pca_w.T + sd["pca_layer.bias"].numpy()
         expect = _np_l2norm(out, axis=-1)
-
-        import jax.numpy as jnp
 
         ours = np.asarray(
             model.apply(params, jnp.asarray(x.transpose(0, 2, 3, 1)))
