@@ -79,3 +79,5 @@ class EvalConfig:
     lambda_value: float = 0.0
     nms: bool = False  # Tokyo spatial NMS
     num_clusters: int = 64
+    pca_dataset: str = ""  # dataset whose train split fits PCA ('' = same)
+    pca_scale: str = ""

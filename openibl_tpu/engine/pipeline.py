@@ -448,8 +448,37 @@ def run_eval(cfg, mesh=None, train_cfg=None, verbose=True):
             params = loaded["params"]
 
     pca = None
-    if cfg.reduction and cfg.pca_params:
-        pca = pca_ops.PCA(cfg.pca_dim, whiten=True, params_path=cfg.pca_params)
+    if cfg.reduction:
+        pca_path = cfg.pca_params or osp.join(
+            osp.dirname(cfg.checkpoint) or ".", "pca_params.h5"
+        )
+        pca = pca_ops.PCA(cfg.pca_dim, whiten=True, params_path=pca_path)
+        if not osp.isfile(pca_path):
+            # compute PCA from the training split of the PCA source dataset
+            # on demand (reference test.py:108-121 uses Pitts30k-train)
+            src_name = getattr(cfg, "pca_dataset", None) or cfg.data.dataset
+            src_scale = getattr(cfg, "pca_scale", None) or (
+                "30k" if src_name == "pitts" else cfg.data.scale
+            )
+            kwargs = {"scale": src_scale} if src_name == "pitts" else {}
+            pca_ds = datasets.create(
+                src_name, osp.join(cfg.data.data_dir, src_name), **kwargs
+            )
+            items = sorted(set(pca_ds.q_train) | set(pca_ds.db_train))
+            src = ImageSource(items, pca_ds.images_dir,
+                              TestTransform(cfg.data.height, cfg.data.width,
+                                            device_normalize=True))
+            feats = extract_features(
+                model.apply, params,
+                BatchLoader(src, batch_size=cfg.data.test_batch_size),
+                mesh=mesh,
+            )
+            if len(feats) > 10000:
+                sel = np.random.RandomState(0).choice(len(feats), 10000,
+                                                      replace=False)
+                feats = feats[sel]
+            pca.n_components = min(cfg.pca_dim, feats.shape[0], feats.shape[1])
+            pca.train(feats)
 
     bs = cfg.data.test_batch_size
     if cfg.data.dataset == "tokyo":

@@ -96,3 +96,26 @@ class TestEvalEntry:
         )
         recalls = pipeline.run_eval(ecfg, verbose=False)
         assert len(recalls) == 3
+
+
+class TestEvalPCAOnDemand:
+    def test_run_eval_computes_pca_when_missing(self, tmp_path):
+        """--reduction with no PCA params file must train PCA from the source
+        dataset's train split (reference test.py:108-121 behavior)."""
+        from openibl_tpu.config import EvalConfig
+
+        cfg = _cfg(tmp_path)
+        pipeline.run_baseline_training(cfg, verbose=False)
+        ecfg = EvalConfig(
+            data=cfg.data,
+            checkpoint=osp.join(cfg.logs_dir, "model_best.npz"),
+            reduction=True,
+            pca_dim=16,
+            num_clusters=8,
+        )
+        recalls = pipeline.run_eval(ecfg, verbose=False)
+        assert len(recalls) == 3
+        assert osp.isfile(osp.join(cfg.logs_dir, "pca_params.h5"))
+        # second run reuses the file
+        recalls2 = pipeline.run_eval(ecfg, verbose=False)
+        np.testing.assert_allclose(recalls, recalls2)
