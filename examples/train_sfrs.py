@@ -50,6 +50,7 @@ def main():
     p.add_argument("--features", type=int, default=4096)
     p.add_argument("--seed", type=int, default=43)
     p.add_argument("--print-freq", type=int, default=10)
+    p.add_argument("--resume", type=str, default="")
     p.add_argument("--n-devices", type=int, default=None)
     args = p.parse_args()
 
@@ -70,6 +71,7 @@ def main():
         weight_decay=args.weight_decay, step_size=args.step_size,
         seed=args.seed, pca_dim=args.features, logs_dir=args.logs_dir,
         init_dir=args.init_dir, print_freq=args.print_freq,
+        resume=args.resume,
     )
     sys.stdout = Logger(osp.join(cfg.logs_dir, "log.txt"))
     print(f"config: {cfg}")

@@ -328,14 +328,41 @@ def run_sfrs_training(cfg, mesh=None, verbose=True):
 
     bs = cfg.data.test_batch_size
     best_recall5 = 0.0
-    for gen in range(cfg.generations):
-        # teacher ← student; student re-initializes; fresh optimizer
-        # (netvlad_img_sfrs.py:177-188). jnp.array copies: the train step
-        # donates the student while the teacher must stay alive.
-        teacher = jax.tree.map(jnp.array, params)
-        params = jax.tree.map(jnp.asarray, pristine)
-        opt_state = trainer.init_generation(params)
-        start_epoch = cfg.epochs - 1 if gen == 0 else 0
+    start_gen, resume_epoch = 0, None
+    if cfg.resume:
+        # restore student, optimizer, teacher and mining cache mid-generation
+        # (the reference restores only the student and re-snapshots the
+        # teacher from it, netvlad_img_sfrs.py:152-160 — saving the teacher
+        # keeps mid-generation resumes faithful)
+        opt_probe = trainer.init_generation(params)
+        loaded, meta = load_checkpoint(
+            cfg.resume,
+            {"params": params, "opt_state": opt_probe, "teacher": params,
+             "neg_cache": sampler.neg_cache},
+        )
+        params = loaded["params"]
+        resume_teacher = loaded["teacher"]
+        resume_opt = loaded["opt_state"]
+        sampler.neg_cache = np.asarray(loaded["neg_cache"])
+        start_gen = int(meta.get("generation", 0))
+        resume_epoch = int(meta.get("epoch", -1)) + 1
+        best_recall5 = float(meta.get("best_recall5", 0.0))
+
+    for gen in range(start_gen, cfg.generations):
+        if cfg.resume and gen == start_gen and resume_epoch is not None:
+            teacher = jax.tree.map(jnp.array, resume_teacher)
+            opt_state = resume_opt
+            trainer.init_generation(params)  # rebuild tx for this param tree
+            opt_state = resume_opt
+            start_epoch = resume_epoch
+        else:
+            # teacher ← student; student re-initializes; fresh optimizer
+            # (netvlad_img_sfrs.py:177-188). jnp.array copies: the train step
+            # donates the student while the teacher must stay alive.
+            teacher = jax.tree.map(jnp.array, params)
+            params = jax.tree.map(jnp.asarray, pristine)
+            opt_state = trainer.init_generation(params)
+            start_epoch = cfg.epochs - 1 if gen == 0 else 0
 
         for epoch in range(start_epoch, cfg.epochs):
             sampler.set_epoch(cfg.seed + epoch)
@@ -396,7 +423,7 @@ def run_sfrs_training(cfg, mesh=None, verbose=True):
             save_checkpoint(
                 osp.join(cfg.logs_dir, f"checkpoint{gen}_{epoch}.npz"),
                 {"params": params, "opt_state": opt_state,
-                 "neg_cache": sampler.neg_cache},
+                 "teacher": teacher, "neg_cache": sampler.neg_cache},
                 {"epoch": epoch, "generation": gen,
                  "best_recall5": float(best_recall5)},
                 is_best=is_best,

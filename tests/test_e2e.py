@@ -119,3 +119,28 @@ class TestEvalPCAOnDemand:
         # second run reuses the file
         recalls2 = pipeline.run_eval(ecfg, verbose=False)
         np.testing.assert_allclose(recalls, recalls2)
+
+
+class TestSFRSResume:
+    def test_resume_mid_generation(self, tmp_path):
+        cfg = _cfg(
+            tmp_path, cls=SFRSConfig,
+            data=DataConfig(
+                dataset="synthetic", scale=None,
+                data_dir=str(tmp_path / "data"),
+                height=64, width=64, test_batch_size=8,
+            ),
+            generations=2, epochs=1, pos_num=2, pos_pool=3,
+            temperature=(0.07, 0.05),
+        )
+        pipeline.run_sfrs_training(cfg, verbose=False)
+        ckpt = osp.join(cfg.logs_dir, "checkpoint0_0.npz")
+        assert osp.isfile(ckpt)
+        # resume from end of gen 0 with generations=2: runs gen 1 only
+        cfg2 = _cfg(
+            tmp_path, cls=SFRSConfig,
+            data=cfg.data, generations=2, epochs=1, pos_num=2, pos_pool=3,
+            temperature=(0.07, 0.05), resume=ckpt,
+        )
+        params, recalls = pipeline.run_sfrs_training(cfg2, verbose=False)
+        assert len(recalls) == 3
