@@ -50,11 +50,13 @@ def radius_neighbors(query_utm, gallery_utm, radius, chunk=2048):
     q = np.asarray(query_utm, np.float64)
     g = np.asarray(gallery_utm, np.float64)
     r2 = radius * radius
+    g2 = (g ** 2).sum(1)
     out = []
     for s in range(0, len(q), chunk):
         qc = q[s : s + chunk]
-        d2 = ((qc[:, None, :] - g[None, :, :]) ** 2).sum(-1)
-        for row in d2 <= r2:
+        # x² + y² − 2xy form: (chunk, G) only, no (chunk, G, 2) broadcast
+        d2 = (qc ** 2).sum(1)[:, None] + g2[None, :] - 2.0 * (qc @ g.T)
+        for row in d2 <= r2 + 1e-9:
             out.append(np.nonzero(row)[0].tolist())
     return out
 

@@ -25,32 +25,52 @@ class ImageSource:
     def __len__(self):
         return len(self.items)
 
-    def load(self, index):
+    def path_of(self, index):
         fname = self.items[index][0]
-        fpath = osp.join(self.root, fname) if self.root else fname
-        img = Image.open(fpath).convert("RGB")
+        return osp.join(self.root, fname) if self.root else fname
+
+    def load(self, index):
+        img = Image.open(self.path_of(index)).convert("RGB")
         if self.transform is not None:
             return self.transform(img)
         return np.asarray(img, np.float32)
 
+    def shape_of(self, index):
+        """Transformed shape from the image header only (no pixel decode);
+        None when the transform can't predict it."""
+        tf = self.transform
+        if tf is None or not hasattr(tf, "output_shape"):
+            return None
+        with Image.open(self.path_of(index)) as im:
+            return tf.output_shape(im.size)
+
 
 def _prefetch(gen, depth=2):
-    """Run ``gen`` in a daemon thread, yielding through a bounded queue."""
+    """Run ``gen`` in a daemon thread, yielding through a bounded queue.
+    Producer exceptions are re-raised in the consumer — a corrupt image must
+    fail the epoch loudly, not silently truncate the stream."""
     q = queue.Queue(maxsize=depth)
     stop = object()
+
+    class _Error:
+        def __init__(self, exc):
+            self.exc = exc
 
     def worker():
         try:
             for item in gen:
                 q.put(item)
-        finally:
             q.put(stop)
+        except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+            q.put(_Error(e))
 
     threading.Thread(target=worker, daemon=True).start()
     while True:
         item = q.get()
         if item is stop:
             return
+        if isinstance(item, _Error):
+            raise item.exc
         yield item
 
 
@@ -145,9 +165,16 @@ class GroupedBatchLoader:
         groups = {}
         self._cache = {}
         for i in self.indices:
-            img = self.source.load(int(i))
-            groups.setdefault(img.shape, []).append(int(i))
-            self._cache[int(i)] = img
+            # header-only shape probe when the transform supports it — avoids
+            # decoding and holding the whole split in RAM up front
+            shape = None
+            if hasattr(self.source, "shape_of"):
+                shape = self.source.shape_of(int(i))
+            if shape is None:
+                img = self.source.load(int(i))
+                shape = img.shape
+                self._cache[int(i)] = img
+            groups.setdefault(tuple(shape), []).append(int(i))
         self._groups = groups
 
     def __len__(self):
@@ -166,7 +193,7 @@ class GroupedBatchLoader:
                 if count < bs:
                     idx = np.concatenate([idx, np.repeat(idx[-1:], bs - count)])
                 imgs = np.stack(
-                    [self._cache.pop(int(i), None)
+                    [self._cache.pop(int(i))
                      if int(i) in self._cache else self.source.load(int(i))
                      for i in idx]
                 )

@@ -85,6 +85,12 @@ class TupleSampler:
         )
         pos_choice = np.asarray(pos_choice)
         neg_choice = np.asarray(neg_choice)
+        if (neg_choice < 0).any():
+            raise ValueError(
+                "not enough valid negative candidates for some anchors "
+                "(gallery too small or exclusion zones too large); "
+                "reduce neg_num or grow neg_pool/gallery"
+            )
         self.neg_cache[sub_ids] = neg_choice
         q = self.n_query
         self.tuples = [
@@ -152,6 +158,12 @@ class DiffTupleSampler(TupleSampler):
         )
         pos_choice = np.asarray(pos_choice)
         neg_choice = np.asarray(neg_choice)
+        if (neg_choice < 0).any():
+            raise ValueError(
+                "not enough valid negative candidates for some anchors "
+                "(gallery too small or exclusion zones too large); "
+                "reduce neg_num or grow neg_pool/gallery"
+            )
         ranked_pos = np.asarray(ranked_pos)
         self.neg_cache[sub_ids] = neg_choice
 

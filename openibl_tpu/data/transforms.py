@@ -97,6 +97,10 @@ class TrainTransform:
             return np.asarray(img, np.uint8)
         return normalize_pixels(img)
 
+    def output_shape(self, size):
+        """Output (H, W, 3) given a PIL (width, height) size — header-only."""
+        return (self.height, self.width, 3)
+
 
 class TestTransform:
     """Fixed resize (or Tokyo shorter-side resize) + normalize
@@ -116,3 +120,13 @@ class TestTransform:
         if self.device_normalize:
             return np.asarray(img, np.uint8)
         return normalize_pixels(img)
+
+    def output_shape(self, size):
+        """Output (H, W, 3) given a PIL (width, height) size — header-only."""
+        if not self.tokyo:
+            return (self.height, self.width, 3)
+        w, h = size
+        target = max(self.height, self.width)
+        if w <= h:
+            return (max(1, round(h * target / w)), target, 3)
+        return (target, max(1, round(w * target / h)), 3)

@@ -162,7 +162,10 @@ def _subset_splits(n_query, cache_size, epoch, step_size, seed):
     size = min(max(cache_size * (2 ** (epoch // step_size)), 1), n_query)
     rng = np.random.RandomState(seed + epoch)
     perm = rng.permutation(n_query)
-    return [perm[s : s + size] for s in range(0, n_query, size)]
+    # each subset is SORTED: extract_features returns features in ascending
+    # dataset-index order, and the sampler zips feature row r with subset[r]
+    # — unsorted subsets would silently mine with misaligned descriptors
+    return [np.sort(perm[s : s + size]) for s in range(0, n_query, size)]
 
 
 # ---------------------------------------------------------------------------
@@ -269,13 +272,17 @@ def run_baseline_training(cfg, mesh=None, verbose=True):
 def finalize_with_pca(cfg, dataset, sources, model, params, mesh=None,
                       verbose=True, nms=False):
     """Train PCA-whitening on <=10k train descriptors, evaluate the test split
-    with reduction (netvlad_img.py:212-233)."""
+    with reduction (netvlad_img.py:212-233). Honors the pool/vlad feature
+    selection like the reference's vlad=args.vlad plumbing."""
+    feature = "vlad" if getattr(cfg, "use_vlad", True) else "pool"
     bs = cfg.data.test_batch_size
     feats = np.concatenate([
         extract_features(model.apply, params,
-                         BatchLoader(sources["q_train"], batch_size=bs), mesh=mesh),
+                         BatchLoader(sources["q_train"], batch_size=bs),
+                         mesh=mesh, feature=feature),
         extract_features(model.apply, params,
-                         BatchLoader(sources["db_train"], batch_size=bs), mesh=mesh),
+                         BatchLoader(sources["db_train"], batch_size=bs),
+                         mesh=mesh, feature=feature),
     ])
     if len(feats) > 10000:
         sel = np.random.RandomState(cfg.seed).choice(len(feats), 10000, replace=False)
@@ -287,7 +294,7 @@ def finalize_with_pca(cfg, dataset, sources, model, params, mesh=None,
     pca.train(feats)
     if verbose:
         print("Testing with PCA reduction:")
-    evaluator = Evaluator(model.apply, mesh=mesh)
+    evaluator = Evaluator(model.apply, mesh=mesh, feature=feature)
     return evaluator.evaluate(
         params,
         BatchLoader(sources["q_test"], batch_size=bs),
@@ -351,7 +358,6 @@ def run_sfrs_training(cfg, mesh=None, verbose=True):
     for gen in range(start_gen, cfg.generations):
         if cfg.resume and gen == start_gen and resume_epoch is not None:
             teacher = jax.tree.map(jnp.array, resume_teacher)
-            opt_state = resume_opt
             trainer.init_generation(params)  # rebuild tx for this param tree
             opt_state = resume_opt
             start_epoch = resume_epoch

@@ -113,11 +113,10 @@ class Trainer:
         if self.remat:
             apply = jax.checkpoint(apply)
         pool_x, vlad_x = apply(params, flat)
+        # pool path trains on the RAW pool output like the reference
+        # (trainers.py:70-80); normalization happens only at eval time
+        # (extract_cnn_feature, evaluators.py:27-31)
         desc = pool_x if self.use_pool_feature else vlad_x
-        if self.use_pool_feature:
-            from openibl_tpu.utils import l2_normalize
-
-            desc = l2_normalize(desc, axis=-1)
         desc = desc.reshape(t, g, -1)
         return tuple_loss(desc, self.loss_type, self.margin)
 

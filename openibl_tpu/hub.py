@@ -33,7 +33,15 @@ def vgg16_netvlad(pretrained=None, num_clusters=64, pca_dim=4096):
     elif str(pretrained).endswith(".npz"):
         from openibl_tpu.utils.checkpoint import load_checkpoint
 
-        params, _ = load_checkpoint(pretrained, model.init(jax.random.PRNGKey(0)))
+        template = model.init(jax.random.PRNGKey(0))
+        data = np.load(pretrained)
+        if any(k.startswith("leaf:params/") for k in data.files):
+            # pipeline checkpoints store {'params':..., 'opt_state':...}
+            loaded, _ = load_checkpoint(pretrained, {"params": template},
+                                        strict=False, verbose=True)
+            params = loaded["params"]
+        else:
+            params, _ = load_checkpoint(pretrained, template, verbose=True)
     else:
         import torch
 

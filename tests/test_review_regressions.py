@@ -1,0 +1,139 @@
+"""Regression tests for the round-1 code-review findings."""
+
+import os.path as osp
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from PIL import Image
+
+from openibl_tpu import models
+from openibl_tpu.models.netvlad import NetVLAD
+
+
+class TestMiningAlignment:
+    def test_subset_splits_sorted(self):
+        """Subsets must be sorted: extract_features returns features in
+        ascending dataset order and the sampler zips rows positionally."""
+        from openibl_tpu.engine.pipeline import _subset_splits
+
+        subsets = _subset_splits(50, cache_size=7, epoch=0, step_size=5, seed=3)
+        assert sum(len(s) for s in subsets) == 50
+        for s in subsets:
+            assert np.all(np.diff(s) > 0), "subset not sorted"
+
+    def test_extract_returns_ascending_order(self, rng):
+        from openibl_tpu.parallel.extract import extract_features
+        from tests.test_sharding import FakeLoader
+
+        model = models.create("embednet", net_vlad=NetVLAD(num_clusters=4, dim=512))
+        params = model.init(jax.random.PRNGKey(0))
+        images = rng.randn(6, 16, 16, 3).astype(np.float32) * 20
+
+        class ShuffledLoader(FakeLoader):
+            def __iter__(self):
+                order = [4, 1, 5, 0, 3, 2]
+                for s in range(0, 6, 2):
+                    idx = np.asarray(order[s : s + 2])
+                    yield self.images[idx], idx, 2
+
+        feats = extract_features(model.apply, params, ShuffledLoader(images, 2))
+        ref = extract_features(model.apply, params, FakeLoader(images, 2))
+        np.testing.assert_allclose(feats, ref, rtol=1e-5)
+
+
+class TestHubNpzLoading:
+    def test_hub_loads_pipeline_checkpoint(self, tmp_path):
+        """Pipeline checkpoints nest under 'params'; hub must unwrap them,
+        not silently return random init."""
+        from openibl_tpu.hub import vgg16_netvlad
+        from openibl_tpu.utils.checkpoint import save_checkpoint
+
+        model = models.create("embednetpca", net_vlad=NetVLAD(num_clusters=4),
+                              pca_dim=16)
+        params = model.init(jax.random.PRNGKey(7))
+        path = save_checkpoint(
+            str(tmp_path / "ckpt.npz"),
+            {"params": params, "opt_state": {"t": np.zeros(2)}},
+        )
+        _, loaded = vgg16_netvlad(path, num_clusters=4, pca_dim=16)
+        np.testing.assert_array_equal(
+            np.asarray(loaded["vlad"]["centroids"]),
+            np.asarray(params["vlad"]["centroids"]),
+        )
+
+    def test_hub_loads_bare_tree(self, tmp_path):
+        from openibl_tpu.hub import vgg16_netvlad
+        from openibl_tpu.utils.checkpoint import save_checkpoint
+
+        model = models.create("embednetpca", net_vlad=NetVLAD(num_clusters=4),
+                              pca_dim=16)
+        params = model.init(jax.random.PRNGKey(7))
+        path = save_checkpoint(str(tmp_path / "bare.npz"), params)
+        _, loaded = vgg16_netvlad(path, num_clusters=4, pca_dim=16)
+        np.testing.assert_array_equal(
+            np.asarray(loaded["vlad"]["centroids"]),
+            np.asarray(params["vlad"]["centroids"]),
+        )
+
+
+class TestPrefetchErrors:
+    def test_producer_exception_propagates(self, tmp_path):
+        from openibl_tpu.data.loader import ImageSource, BatchLoader
+
+        items = [(str(tmp_path / "missing.png"), 0, 0.0, 0.0)]
+        loader = BatchLoader(ImageSource(items), batch_size=1)
+        with pytest.raises(FileNotFoundError):
+            list(loader)
+
+
+class TestInsufficientNegatives:
+    def test_sampler_raises(self, rng):
+        from openibl_tpu.data.sampler import TupleSampler
+
+        # gallery of 3, all inside the exclusion zone of anchor 0
+        s = TupleSampler(
+            n_query=1, n_gallery=3,
+            pos_list=[[0]], neg_list=[[0, 1, 2]],
+            neg_num=2, neg_pool=5, seed=0,
+        )
+        qf = rng.randn(1, 8).astype(np.float32)
+        gf = rng.randn(3, 8).astype(np.float32)
+        with pytest.raises(ValueError, match="negative candidates"):
+            s.refresh(qf, gf, np.array([0]))
+
+
+class TestPoolLossRaw:
+    def test_pool_path_uses_raw_features(self, rng):
+        """Reference trains on un-normalized pool output (trainers.py:70-80)."""
+        from openibl_tpu.engine.trainer import Trainer
+        from openibl_tpu.ops.losses import tuple_loss
+
+        model = models.create("embednet", net_vlad=NetVLAD(num_clusters=4, dim=512))
+        params = model.init(jax.random.PRNGKey(0))
+        trainer = Trainer(model, loss_type="sare_ind", use_pool_feature=True)
+        imgs = jnp.asarray(rng.randn(1, 4, 32, 32, 3).astype(np.float32) * 30)
+        got = float(trainer._loss_fn(params, imgs))
+        pool, _ = model.apply(params, imgs.reshape(4, 32, 32, 3))
+        expect = float(tuple_loss(pool.reshape(1, 4, -1), "sare_ind"))
+        assert abs(got - expect) < 1e-6
+
+
+class TestGroupedLoaderHeaderProbe:
+    def test_no_upfront_decode_with_predictable_transform(self, tmp_path, rng):
+        from openibl_tpu.data.loader import ImageSource, GroupedBatchLoader
+        from openibl_tpu.data.transforms import TestTransform
+
+        items = []
+        for i, (h, w) in enumerate([(40, 60), (60, 40), (40, 60)]):
+            f = tmp_path / f"t{i}.png"
+            Image.fromarray(rng.randint(0, 255, (h, w, 3), np.uint8)).save(f)
+            items.append((str(f), i, 0.0, 0.0))
+        src = ImageSource(items, transform=TestTransform(32, 48, tokyo=True))
+        loader = GroupedBatchLoader(src, batch_size=2)
+        loader._ensure_groups()
+        assert loader._cache == {}, "header probe should avoid decoding"
+        assert len(loader._groups) == 2  # two aspect groups
+        total = sum(count for _, _, count in loader)
+        assert total == 3
