@@ -17,13 +17,13 @@ namespace {
 
 // k-reciprocal neighbors of `i`: forward top-(k+1) whose own top-(k+1)
 // contains i.
-void k_reciprocal(const int32_t* rank, int64_t n, int64_t i, int32_t k,
-                  std::vector<int32_t>* out) {
+void k_reciprocal(const int32_t* rank, int64_t rank_cols, int64_t i,
+                  int32_t k, std::vector<int32_t>* out) {
   out->clear();
-  const int32_t* fwd = rank + i * n;
+  const int32_t* fwd = rank + i * rank_cols;
   for (int32_t a = 0; a <= k; ++a) {
     int32_t cand = fwd[a];
-    const int32_t* back = rank + static_cast<int64_t>(cand) * n;
+    const int32_t* back = rank + static_cast<int64_t>(cand) * rank_cols;
     for (int32_t b = 0; b <= k; ++b) {
       if (back[b] == static_cast<int32_t>(i)) {
         out->push_back(cand);
@@ -36,21 +36,22 @@ void k_reciprocal(const int32_t* rank, int64_t n, int64_t i, int32_t k,
 }  // namespace
 
 extern "C" int64_t expansion_weights(
-    const float* original, const int32_t* rank, int64_t n, int32_t k1,
-    int32_t* out_rows, int32_t* out_cols, float* out_vals, int64_t cap) {
+    const float* original, const int32_t* rank, int64_t n, int64_t rank_cols,
+    int32_t k1, int32_t* out_rows, int32_t* out_cols, float* out_vals,
+    int64_t cap) {
   const int32_t half = static_cast<int32_t>(std::lround(k1 / 2.0));
   int64_t written = 0;
   std::vector<int32_t> k_recip, cand_recip, expansion;
   std::vector<char> in_set(n, 0);
 
   for (int64_t i = 0; i < n; ++i) {
-    k_reciprocal(rank, n, i, k1, &k_recip);
+    k_reciprocal(rank, rank_cols, i, k1, &k_recip);
     expansion = k_recip;
     for (char& c : in_set) c = 0;  // reset membership (n is small enough)
     for (int32_t v : k_recip) in_set[v] = 1;
 
     for (int32_t cand : k_recip) {
-      k_reciprocal(rank, n, cand, half, &cand_recip);
+      k_reciprocal(rank, rank_cols, cand, half, &cand_recip);
       int64_t overlap = 0;
       for (int32_t v : cand_recip) overlap += in_set[v];
       if (3 * overlap > 2 * static_cast<int64_t>(cand_recip.size())) {

@@ -50,8 +50,9 @@ def _load():
         lib.expansion_weights.restype = ctypes.c_int64
         lib.expansion_weights.argtypes = [
             ctypes.POINTER(ctypes.c_float),  # original (n*n)
-            ctypes.POINTER(ctypes.c_int32),  # initial_rank (n*n)
+            ctypes.POINTER(ctypes.c_int32),  # initial_rank (n*rank_cols)
             ctypes.c_int64,  # n
+            ctypes.c_int64,  # rank_cols
             ctypes.c_int32,  # k1
             ctypes.POINTER(ctypes.c_int32),  # out rows (cap)
             ctypes.POINTER(ctypes.c_int32),  # out cols (cap)
@@ -69,9 +70,13 @@ def available():
 
 
 def expansion_weights(original, initial_rank, k1):
-    """C++ path for ops.rerank step 2+3. Returns (rows, cols, vals)."""
+    """C++ path for ops.rerank step 2+3. Returns (rows, cols, vals).
+
+    initial_rank may be a partial (n, depth) ranking, depth >= k1+1."""
     lib = _load()
     n = original.shape[0]
+    rank_cols = initial_rank.shape[1]
+    assert rank_cols >= k1 + 1, "partial ranking too shallow for k1"
     original = np.ascontiguousarray(original, np.float32)
     initial_rank = np.ascontiguousarray(initial_rank, np.int32)
     half = int(np.around(k1 / 2.0))
@@ -82,7 +87,7 @@ def expansion_weights(original, initial_rank, k1):
     count = lib.expansion_weights(
         original.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         initial_rank.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        n, k1,
+        n, rank_cols, k1,
         rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         vals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
