@@ -391,12 +391,18 @@ def run_sfrs_training(cfg, mesh=None, verbose=True):
                         BatchLoader(sources["q_train"], batch_size=bs), mesh=mesh,
                     )
                     from openibl_tpu.ops.rerank import re_ranking
+                    from openibl_tpu.ops.distance import topk_nearest
 
                     d_qg = np.asarray(pairwise_sqdist(q_all, g_feats))
                     d_qq = np.asarray(pairwise_sqdist(q_all, q_all))
                     d_gg = np.asarray(pairwise_sqdist(g_feats, g_feats))
+                    # nearest-neighbor ranks over the q∪g union on device
+                    # (row normalization is order-preserving, see re_ranking)
+                    union = np.concatenate([q_all, g_feats])
+                    _, init_rank = topk_nearest(union, union, k=21)
                     jac = re_ranking(d_qg, d_qq, d_gg, k1=20, k2=1,
-                                     lambda_value=cfg.rerank_lambda)
+                                     lambda_value=cfg.rerank_lambda,
+                                     initial_rank=np.asarray(init_rank))
                     jaccard_rows = jac[subset]
                     q_feats = q_all[subset]
                 else:

@@ -55,9 +55,15 @@ def _expansion_index(initial_rank, k1):
     return out
 
 
-def re_ranking(q_g_dist, q_q_dist, g_g_dist, k1=20, k2=6, lambda_value=0.3):
+def re_ranking(q_g_dist, q_q_dist, g_g_dist, k1=20, k2=6, lambda_value=0.3,
+               initial_rank=None):
     """Re-ranked (Q, G) distance matrix. Same signature/semantics as the
-    reference re_ranking (rerank.py:32)."""
+    reference re_ranking (rerank.py:32).
+
+    ``initial_rank``: optional (N, >=max(k1+1,k2)) precomputed nearest-
+    neighbor indices over the q∪g union (row-wise top-k of the raw distances
+    — the per-row normalization is order-preserving, so a device top-k of
+    the un-normalized matrix is valid). Skips the host partial sort."""
     q_g_dist = np.asarray(q_g_dist, np.float32)
     n_q = q_g_dist.shape[0]
     n = n_q + q_g_dist.shape[1]
@@ -81,7 +87,10 @@ def re_ranking(q_g_dist, q_q_dist, g_g_dist, k1=20, k2=6, lambda_value=0.3):
     # O(N²) instead of the full argsort's O(N² log N), the dominant host
     # cost at Pitts30k scale (~17k x 17k)
     depth = min(max(k1 + 1, k2), n)
-    if depth < n:
+    if initial_rank is not None:
+        assert initial_rank.shape[0] == n and initial_rank.shape[1] >= depth
+        initial_rank = np.ascontiguousarray(initial_rank, np.int32)
+    elif depth < n:
         part = np.argpartition(original, depth - 1, axis=1)[:, :depth]
         vals = np.take_along_axis(original, part, axis=1)
         order = np.argsort(vals, axis=1, kind="stable")

@@ -55,3 +55,18 @@ class TestRerank:
                                 k1=8, k2=1, lambda_value=0.1)
         top1 = out.argmin(axis=1)
         assert (gl[top1] == ql).mean() == 1.0
+
+
+def test_precomputed_initial_rank_matches(rng):
+    """re_ranking(initial_rank=device-style top-k of raw distances) must equal
+    the self-computed partial ranking path."""
+    feats, _ = _planted(rng)
+    q, g = feats[:10], feats[10:]
+    qg, qq, gg = _dists(q, g), _dists(q, q), _dists(g, g)
+    base = rerank.re_ranking(qg, qq, gg, k1=6, k2=1, lambda_value=0.1)
+    union = np.concatenate([feats[:10], feats[10:]])
+    d2 = ((union[:, None] - union[None]) ** 2).sum(-1)
+    ir = np.argsort(d2, axis=1)[:, :7].astype(np.int32)
+    out = rerank.re_ranking(qg, qq, gg, k1=6, k2=1, lambda_value=0.1,
+                            initial_rank=ir)
+    np.testing.assert_allclose(out, base, rtol=1e-4, atol=1e-5)
