@@ -185,6 +185,7 @@ def run_baseline_training(cfg, mesh=None, verbose=True):
         use_pool_feature=not getattr(cfg, "use_vlad", True),
         remat=getattr(cfg, "remat", False),
     )
+    trainer.check_batch_shape(cfg.tuple_size)
     opt_state = trainer.init(params)
 
     sampler = TupleSampler(

@@ -106,6 +106,14 @@ class Trainer:
         self._step = self._build_step()
         return opt_state
 
+    def check_batch_shape(self, tuple_size):
+        """Fail fast on a tuple batch the mesh can't shard."""
+        if self.mesh is not None and tuple_size % self.mesh.size:
+            raise ValueError(
+                f"tuple_size={tuple_size} must be a multiple of the mesh "
+                f"size ({self.mesh.size}) for data-parallel sharding"
+            )
+
     def _loss_fn(self, params, images):
         t, g = images.shape[:2]
         flat = images.reshape((t * g,) + images.shape[2:])
