@@ -1,0 +1,90 @@
+"""Build a descriptor index over an image directory and query it.
+
+The serving-shaped composition of the framework (no reference equivalent —
+the hub model + TPU retrieval as a standalone tool):
+
+  python examples/index_and_query.py build gallery_dir/ index.npz --weights w.pth
+  python examples/index_and_query.py query index.npz photo.jpg --topk 5
+"""
+
+import argparse
+import glob
+import os.path as osp
+import sys
+
+sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), ".."))
+
+import numpy as np
+
+IMAGE_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
+
+
+def build(args):
+    import jax.numpy as jnp
+
+    from openibl_tpu.hub import vgg16_netvlad
+    from openibl_tpu.data.loader import ImageSource, BatchLoader
+    from openibl_tpu.data.transforms import TestTransform
+    from openibl_tpu.parallel.extract import extract_features
+
+    paths = sorted(
+        p for p in glob.glob(osp.join(args.gallery, "**", "*"), recursive=True)
+        if p.lower().endswith(IMAGE_EXTS)
+    )
+    if not paths:
+        raise SystemExit(f"no images under {args.gallery}")
+    print(f"indexing {len(paths)} images from {args.gallery}")
+    model, params = vgg16_netvlad(args.weights)
+    src = ImageSource(
+        [(p, i, 0.0, 0.0) for i, p in enumerate(paths)],
+        transform=TestTransform(args.height, args.width, device_normalize=True),
+    )
+    feats = extract_features(
+        model.apply, params, BatchLoader(src, batch_size=args.batch_size),
+        verbose=True,
+    )
+    np.savez(args.index, descriptors=feats.astype(np.float32),
+             paths=np.array(paths))
+    print(f"wrote {args.index}: {feats.shape} descriptors")
+
+
+def query(args):
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from openibl_tpu.hub import DescriptorExtractor
+    from openibl_tpu.ops.distance import topk_nearest
+
+    data = np.load(args.index, allow_pickle=False)
+    gallery, paths = data["descriptors"], data["paths"]
+    extractor = DescriptorExtractor(args.weights, args.height, args.width)
+    desc = extractor(Image.open(args.image).convert("RGB"))
+    d, idx = topk_nearest(jnp.asarray(desc), jnp.asarray(gallery),
+                          k=min(args.topk, len(gallery)))
+    d, idx = np.asarray(d)[0], np.asarray(idx)[0]
+    print(f"top-{len(idx)} matches for {args.image}:")
+    for rank, (i, dist) in enumerate(zip(idx, d), 1):
+        print(f"  {rank}. {paths[i]}  (sq-dist {dist:.4f})")
+
+
+def main():
+    p = argparse.ArgumentParser(description="descriptor index build/query (TPU)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    b = sub.add_parser("build")
+    b.add_argument("gallery")
+    b.add_argument("index")
+    q = sub.add_parser("query")
+    q.add_argument("index")
+    q.add_argument("image")
+    q.add_argument("--topk", type=int, default=5)
+    for sp in (b, q):
+        sp.add_argument("--weights", type=str, default=None)
+        sp.add_argument("--height", type=int, default=480)
+        sp.add_argument("--width", type=int, default=640)
+        sp.add_argument("--batch-size", type=int, default=16)
+    args = p.parse_args()
+    (build if args.cmd == "build" else query)(args)
+
+
+if __name__ == "__main__":
+    main()
