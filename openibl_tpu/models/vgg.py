@@ -116,10 +116,12 @@ def vgg16_apply(
             x = lax.reduce_window(
                 x, -jnp.inf, lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
             )
-    x = x.astype(jnp.float32)
+    # keep the map in compute dtype: every consumer (NetVLAD XLA path, the
+    # fused kernel, postprocess) upcasts to f32 itself, and an eager cast
+    # here would round-trip an extra 314MB of HBM at bs=128 bf16
     if cut_at_pooling:
         return x
-    pool_x = jnp.max(x, axis=(1, 2))  # adaptive max-pool to 1x1
+    pool_x = jnp.max(x, axis=(1, 2)).astype(jnp.float32)
     return pool_x, x
 
 
