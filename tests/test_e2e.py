@@ -144,3 +144,20 @@ class TestSFRSResume:
         )
         params, recalls = pipeline.run_sfrs_training(cfg2, verbose=False)
         assert len(recalls) == 3
+
+
+class TestEvalRerankNMS:
+    def test_run_eval_rerank_and_nms(self, tmp_path):
+        """--rerank + NMS flags through the eval entry (random model; only
+        the plumbing and index math are under test)."""
+        from openibl_tpu.config import EvalConfig
+
+        cfg = _cfg(tmp_path)
+        pipeline.load_dataset(cfg)  # force synthetic arrange
+        ecfg = EvalConfig(
+            data=cfg.data, checkpoint="", reduction=False, num_clusters=8,
+            rerank=True, rr_topk=5, nms=True,
+        )
+        recalls = pipeline.run_eval(ecfg, verbose=False)
+        assert len(recalls) == 3
+        assert np.all(recalls >= 0) and np.all(recalls <= 1)

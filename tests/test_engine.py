@@ -240,3 +240,26 @@ class TestWatchdog:
         with wd.watch("fast"):
             pass
         assert "watchdog" not in capsys.readouterr().out
+
+
+class TestProfiling:
+    def test_phase_timer_summary(self):
+        import time
+
+        from openibl_tpu.utils.profiling import PhaseTimer
+
+        t = PhaseTimer()
+        with t.phase("a"):
+            time.sleep(0.01)
+        with t.phase("a"):
+            pass
+        with t.phase("b"):
+            pass
+        s = t.summary()
+        assert "a" in s and "x2" in s
+
+    def test_device_memory_stats_no_crash(self):
+        from openibl_tpu.utils.profiling import device_memory_stats
+
+        stats = device_memory_stats()
+        assert len(stats) >= 1
