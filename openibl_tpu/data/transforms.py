@@ -11,7 +11,6 @@ Matches the reference transform constants exactly
 Output is NHWC float32 ready for the NHWC models.
 """
 
-import colorsys
 import random
 
 import numpy as np

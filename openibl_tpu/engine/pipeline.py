@@ -16,7 +16,6 @@ Key TPU-native deviations (documented; semantics preserved):
 """
 
 import os.path as osp
-import time
 
 import numpy as np
 import jax
@@ -27,14 +26,13 @@ from openibl_tpu import models
 from openibl_tpu.data.loader import ImageSource, BatchLoader, TupleLoader
 from openibl_tpu.data.sampler import TupleSampler, DiffTupleSampler
 from openibl_tpu.data.transforms import TrainTransform, TestTransform
-from openibl_tpu.engine.evaluator import Evaluator, evaluate_descriptors
+from openibl_tpu.engine.evaluator import Evaluator
 from openibl_tpu.engine.trainer import Trainer
 from openibl_tpu.engine.sfrs import SFRSTrainer
 from openibl_tpu.ops import pca as pca_ops
 from openibl_tpu.ops.distance import pairwise_sqdist
 from openibl_tpu.ops.kmeans import kmeans
 from openibl_tpu.parallel.extract import extract_features
-from openibl_tpu.utils import l2_normalize
 from openibl_tpu.utils.checkpoint import save_checkpoint, load_checkpoint
 from openibl_tpu.utils.watchdog import Watchdog
 

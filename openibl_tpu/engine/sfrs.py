@@ -14,8 +14,6 @@ TPU-native redesign of the reference SFRSTrainer + generation loop
     baked in statically — one compile per generation, 4 total.
 """
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

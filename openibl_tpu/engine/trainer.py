@@ -13,8 +13,6 @@ TPU-native redesign of the reference Trainer + outer loop
     descriptors stay HBM-resident between mining and training phases.
 """
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

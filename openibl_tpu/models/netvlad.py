@@ -21,7 +21,6 @@ Models:
 """
 
 import dataclasses
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,6 @@ silently when the shared object hasn't been built (build with
 """
 
 import ctypes
-import os
 import os.path as osp
 import subprocess
 
