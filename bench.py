@@ -152,7 +152,7 @@ def main():
         x = jnp.asarray(
             rng.randn(bs, args.height, args.width, 3).astype(np.float32) * 40
         )
-        try:
+        def run_once():
             # NB: on the tunneled TPU platform block_until_ready is a no-op;
             # np.asarray materialization is the only reliable fence. Keep two
             # batches in flight so dispatch/D2H overlaps compute (sustained-
@@ -166,10 +166,17 @@ def main():
                     np.asarray(pending.pop(0))
             for p in pending:
                 np.asarray(p)
-            dt = time.perf_counter() - t0
-        except Exception as e:  # OOM at large batch
+            return time.perf_counter() - t0
+
+        try:
+            try:
+                dt = run_once()
+            except Exception:  # transient tunnel errors happen; retry once
+                dt = run_once()
+        except Exception as e:  # persistent failure (e.g. OOM at large batch)
             if args.verbose:
-                print(f"batch {bs}: {type(e).__name__}", file=sys.stderr)
+                print(f"batch {bs}: {type(e).__name__}: {str(e)[:200]}",
+                      file=sys.stderr)
             break
         rate = bs * args.iters / dt
         if args.verbose:
