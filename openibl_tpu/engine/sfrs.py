@@ -55,13 +55,30 @@ class SFRSTrainer:
         return self.tx.init(params)
 
     def _loss_fn(self, params, teacher_params, easy, diff, gen, lambda_soft):
-        t = easy.shape[0]
+        t, ge = easy.shape[:2]
         flat = lambda x: x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:])
-        apply_train = self.model.apply_train
+        # one student forward over the union of both tuple views: the anchor
+        # (easy[:,0] == diff[:,0]) is deduplicated and the 22-image batch
+        # utilizes the MXU better than two 12/11-image launches (the
+        # reference runs three separate forwards, trainers.py:235-245)
+        union = jnp.concatenate([easy, diff[:, 1:]], axis=1)
+        region_fn = self.model.region_descriptors
         if self.remat:
-            apply_train = jax.checkpoint(apply_train)
-        sim_easy, vlad_a, vlad_p = apply_train(params, flat(easy))
-        sim_diff, _, _ = apply_train(params, flat(diff))
+            region_fn = jax.checkpoint(region_fn)
+        regions = region_fn(params, flat(union))
+        l = regions.shape[-1]
+        regions = regions.reshape(t, -1, 9, l)
+        vlad_a = regions[:, :1]  # (T, 1, 9, L) anchors
+        vlad_p = regions[:, 1:ge]  # (T, 1+neg, 9, L) easy pairs
+        r_diff = regions[:, ge:]  # (T, pos, 9, L) difficult positives
+        sim_easy = jnp.einsum(
+            "txil,tpjl->tpij", vlad_a, vlad_p,
+            preferred_element_type=jnp.float32,
+        )
+        sim_diff = jnp.einsum(
+            "txil,tpjl->tpij", vlad_a, r_diff,
+            preferred_element_type=jnp.float32,
+        )
         sim_teacher, _, _ = jax.lax.stop_gradient(
             self.model.apply_train(teacher_params, flat(diff))
         )

@@ -315,6 +315,11 @@ class EmbedRegionNet:
         vlad = self.net_vlad.apply(params["vlad"], fmap)
         return pool_x, vlad_postprocess(vlad)
 
+    def region_descriptors(self, params, images):
+        """(N, H, W, 3) → (N, 9, L) normalized region descriptors."""
+        _, fmap = self.base.apply(params["base"], images)
+        return region_vlads(self.net_vlad, params["vlad"], fmap)
+
     def apply_train(self, params, images):
         """Train forward on tuples.
 
