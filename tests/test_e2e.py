@@ -161,3 +161,18 @@ class TestEvalRerankNMS:
         recalls = pipeline.run_eval(ecfg, verbose=False)
         assert len(recalls) == 3
         assert np.all(recalls >= 0) and np.all(recalls <= 1)
+
+
+class TestMeshTrainingE2E:
+    def test_full_loop_on_8_device_mesh(self, tmp_path):
+        """Whole baseline pipeline (mining + training + eval + PCA) under
+        data-parallel sharding on the virtual 8-device mesh."""
+        from openibl_tpu.parallel.mesh import get_mesh
+
+        cfg = _cfg(tmp_path, tuple_size=8, neg_num=2, cache_size=16,
+                   epochs=1)
+        mesh = get_mesh()
+        params, recalls, history = pipeline.run_baseline_training(
+            cfg, mesh=mesh, verbose=False
+        )
+        assert len(recalls) == 3 and history
