@@ -20,8 +20,6 @@ IMAGE_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
 
 
 def build(args):
-    import jax.numpy as jnp
-
     from openibl_tpu.hub import vgg16_netvlad
     from openibl_tpu.data.loader import ImageSource, BatchLoader
     from openibl_tpu.data.transforms import TestTransform
@@ -43,9 +41,10 @@ def build(args):
         model.apply, params, BatchLoader(src, batch_size=args.batch_size),
         verbose=True,
     )
-    np.savez(args.index, descriptors=feats.astype(np.float32),
+    index_path = args.index if args.index.endswith(".npz") else args.index + ".npz"
+    np.savez(index_path, descriptors=feats.astype(np.float32),
              paths=np.array(paths))
-    print(f"wrote {args.index}: {feats.shape} descriptors")
+    print(f"wrote {index_path}: {feats.shape} descriptors")
 
 
 def query(args):
@@ -55,7 +54,8 @@ def query(args):
     from openibl_tpu.hub import DescriptorExtractor
     from openibl_tpu.ops.distance import topk_nearest
 
-    data = np.load(args.index, allow_pickle=False)
+    index_path = args.index if args.index.endswith(".npz") else args.index + ".npz"
+    data = np.load(index_path, allow_pickle=False)
     gallery, paths = data["descriptors"], data["paths"]
     extractor = DescriptorExtractor(args.weights, args.height, args.width)
     desc = extractor(Image.open(args.image).convert("RGB"))

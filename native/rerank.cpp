@@ -37,9 +37,10 @@ void k_reciprocal(const int32_t* rank, int64_t rank_cols, int64_t i,
 
 extern "C" int64_t expansion_weights(
     const float* original, const int32_t* rank, int64_t n, int64_t rank_cols,
-    int32_t k1, int32_t* out_rows, int32_t* out_cols, float* out_vals,
-    int64_t cap) {
-  const int32_t half = static_cast<int32_t>(std::lround(k1 / 2.0));
+    int32_t k1, int32_t half, int32_t* out_rows, int32_t* out_cols,
+    float* out_vals, int64_t cap) {
+  // `half` comes from the caller (np.around(k1/2), half-to-even) so the
+  // native and numpy paths and the output-capacity bound always agree
   int64_t written = 0;
   std::vector<int32_t> k_recip, cand_recip, expansion;
   std::vector<char> in_set(n, 0);

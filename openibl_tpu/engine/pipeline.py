@@ -81,7 +81,10 @@ def bootstrap_centroids(cfg, dataset, base_model, base_params,
     )
     descs = []
     for images, _, count in BatchLoader(src, batch_size=cfg.data.test_batch_size):
-        fmap = np.asarray(fwd(base_params, jnp.asarray(images)))[:count]
+        # f32 regardless of the backbone compute dtype: the centroid/alpha
+        # bootstrap is on the fidelity-critical init path
+        fmap = np.asarray(fwd(base_params, jnp.asarray(images)),
+                          dtype=np.float32)[:count]
         n, h, w, c = fmap.shape
         flat = fmap.reshape(n, h * w, c)
         flat = flat / np.maximum(
@@ -325,6 +328,7 @@ def run_sfrs_training(cfg, mesh=None, verbose=True):
         remat=getattr(cfg, "remat", False),
     )
 
+    trainer.check_batch_shape(cfg.tuple_size)
     sampler = DiffTupleSampler(
         len(dataset.q_train), len(dataset.db_train),
         dataset.train_pos, dataset.train_neg,
@@ -390,18 +394,21 @@ def run_sfrs_training(cfg, mesh=None, verbose=True):
                         BatchLoader(sources["q_train"], batch_size=bs), mesh=mesh,
                     )
                     from openibl_tpu.ops.rerank import re_ranking
-                    from openibl_tpu.ops.distance import topk_nearest
 
-                    d_qg = np.asarray(pairwise_sqdist(q_all, g_feats))
-                    d_qq = np.asarray(pairwise_sqdist(q_all, q_all))
-                    d_gg = np.asarray(pairwise_sqdist(g_feats, g_feats))
-                    # nearest-neighbor ranks over the q∪g union on device
-                    # (row normalization is order-preserving, see re_ranking)
+                    # one union pairwise pass on device serves both the three
+                    # rerank blocks and the nearest-neighbor ranking (row
+                    # normalization is order-preserving, see re_ranking)
+                    nq = len(q_all)
                     union = np.concatenate([q_all, g_feats])
-                    _, init_rank = topk_nearest(union, union, k=21)
-                    jac = re_ranking(d_qg, d_qq, d_gg, k1=20, k2=1,
-                                     lambda_value=cfg.rerank_lambda,
-                                     initial_rank=np.asarray(init_rank))
+                    d_union = pairwise_sqdist(union, union)
+                    _, init_rank = jax.lax.top_k(-d_union, 21)
+                    d_union = np.asarray(d_union)
+                    jac = re_ranking(
+                        d_union[:nq, nq:], d_union[:nq, :nq],
+                        d_union[nq:, nq:], k1=20, k2=1,
+                        lambda_value=cfg.rerank_lambda,
+                        initial_rank=np.asarray(init_rank),
+                    )
                     jaccard_rows = jac[subset]
                     q_feats = q_all[subset]
                 else:

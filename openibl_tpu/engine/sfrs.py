@@ -46,6 +46,14 @@ class SFRSTrainer:
         self.tx = None
         self._steps = {}
 
+    def check_batch_shape(self, tuple_size):
+        """Fail fast on a tuple batch the mesh can't shard."""
+        if self.mesh is not None and tuple_size % self.mesh.size:
+            raise ValueError(
+                f"tuple_size={tuple_size} must be a multiple of the mesh "
+                f"size ({self.mesh.size}) for data-parallel sharding"
+            )
+
     def init_generation(self, params):
         """Fresh optimizer per generation (netvlad_img_sfrs.py:183-185)."""
         mask = None

@@ -37,7 +37,10 @@ def _load():
     if _TRIED:
         return _LIB
     _TRIED = True
-    if not osp.exists(_SO) and osp.exists(_SRC):
+    needs_build = osp.exists(_SRC) and (
+        not osp.exists(_SO) or osp.getmtime(_SO) < osp.getmtime(_SRC)
+    )
+    if needs_build:  # also rebuilds a stale ABI after source changes
         try:
             build()
         except Exception:
@@ -53,6 +56,7 @@ def _load():
             ctypes.c_int64,  # n
             ctypes.c_int64,  # rank_cols
             ctypes.c_int32,  # k1
+            ctypes.c_int32,  # half (np.around(k1/2), python is the source of truth)
             ctypes.POINTER(ctypes.c_int32),  # out rows (cap)
             ctypes.POINTER(ctypes.c_int32),  # out cols (cap)
             ctypes.POINTER(ctypes.c_float),  # out vals (cap)
@@ -78,6 +82,8 @@ def expansion_weights(original, initial_rank, k1):
     assert rank_cols >= k1 + 1, "partial ranking too shallow for k1"
     original = np.ascontiguousarray(original, np.float32)
     initial_rank = np.ascontiguousarray(initial_rank, np.int32)
+    # np.around rounds half-to-even (12 for k1=25); passed to C++ so both
+    # paths and the cap computation agree
     half = int(np.around(k1 / 2.0))
     cap = n * (k1 + 1) * (half + 2)
     rows = np.empty(cap, np.int32)
@@ -86,7 +92,7 @@ def expansion_weights(original, initial_rank, k1):
     count = lib.expansion_weights(
         original.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         initial_rank.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        n, rank_cols, k1,
+        n, rank_cols, k1, half,
         rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         vals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),

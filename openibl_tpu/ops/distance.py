@@ -44,8 +44,9 @@ def _merge_topk(dist_a, idx_a, dist_b, idx_b, k):
 
 # distmats below this size are materialized whole: one big lax.top_k beats
 # the scan's per-tile top-k merges by ~1.7x (measured on v5e); above it the
-# streaming scan keeps memory at O(Q*k)
-_FULL_DISTMAT_BUDGET_BYTES = 2 * 1024**3
+# streaming scan keeps memory at O(Q*k). The full path's peak is ~3x the
+# distmat (d, its negation, top-k workspace), so this bounds peak to ~1.5GB.
+_FULL_DISTMAT_BUDGET_BYTES = 512 * 1024**2
 
 
 @functools.partial(jax.jit, static_argnames=("k", "chunk", "full_path"))
