@@ -1,0 +1,35 @@
+"""bench.py smoke tests (tiny shapes, CPU): the driver depends on bench
+emitting exactly one valid JSON line per metric."""
+
+import json
+import sys
+
+import pytest
+
+
+def _run_bench(argv, capsys):
+    old = sys.argv
+    sys.argv = ["bench.py"] + argv
+    try:
+        with open("bench.py") as f:
+            code = f.read()
+        exec(compile(code, "bench.py", "exec"), {"__name__": "__main__"})
+    finally:
+        sys.argv = old
+    out = capsys.readouterr().out.strip().splitlines()
+    payload = json.loads(out[-1])
+    assert {"metric", "value", "unit", "vs_baseline"} <= set(payload)
+    return payload
+
+
+@pytest.mark.parametrize("metric_args", [
+    ["--batch-size", "2", "--iters", "2", "--height", "64", "--width", "64",
+     "--dtype", "float32"],
+    ["--metric", "train", "--batch-size", "1", "--iters", "3",
+     "--height", "64", "--width", "64", "--dtype", "float32"],
+    ["--metric", "query", "--gallery-size", "256", "--iters", "2",
+     "--height", "64", "--width", "64", "--dtype", "float32"],
+])
+def test_bench_emits_json(metric_args, capsys):
+    payload = _run_bench(metric_args, capsys)
+    assert payload["value"] > 0
