@@ -15,6 +15,7 @@ Key TPU-native deviations (documented; semantics preserved):
     the published 5-epoch/step-5 recipes the two are identical).
 """
 
+import dataclasses
 import os.path as osp
 
 import numpy as np
@@ -139,6 +140,17 @@ def build_model(cfg, dataset, region=False, tuple_size=None, rng_seed=0):
     return model, params
 
 
+def eval_view(model):
+    """Same model/params with the fused Pallas NetVLAD head for no-grad
+    extraction/eval (1.7x the XLA head on TPU; interpret-mode Pallas is slow
+    on CPU, so only switch on real TPUs)."""
+    if jax.default_backend() != "tpu" or model.net_vlad.fused:
+        return model
+    return dataclasses.replace(
+        model, net_vlad=dataclasses.replace(model.net_vlad, fused=True)
+    )
+
+
 def make_sources(cfg, dataset):
     # uint8 images, mean subtraction on device: 4x less H2D traffic
     train_tf = TrainTransform(cfg.data.height, cfg.data.width,
@@ -177,8 +189,9 @@ def run_baseline_training(cfg, mesh=None, verbose=True):
     dataset = load_dataset(cfg)
     sources = make_sources(cfg, dataset)
     model, params = build_model(cfg, dataset)
+    emodel = eval_view(model)
     feature = "vlad" if getattr(cfg, "use_vlad", True) else "pool"
-    evaluator = Evaluator(model.apply, mesh=mesh, feature=feature)
+    evaluator = Evaluator(emodel.apply, mesh=mesh, feature=feature)
 
     trainer = Trainer(
         model, loss_type=cfg.loss_type, margin=cfg.margin, lr=cfg.lr,
@@ -219,12 +232,12 @@ def run_baseline_training(cfg, mesh=None, verbose=True):
             # mining: fresh gallery + subset-anchor descriptors
             with _WATCHDOG.watch(f"mining extraction epoch {epoch}-{subid}"):
                 g_feats = extract_features(
-                    model.apply, params,
+                    emodel.apply, params,
                     BatchLoader(sources["db_train"], batch_size=bs),
                     mesh=mesh, feature=feature,
                 )
                 q_feats = extract_features(
-                    model.apply, params,
+                    emodel.apply, params,
                     BatchLoader(sources["q_train"], indices=subset, batch_size=bs),
                     mesh=mesh, feature=feature,
                 )
@@ -277,12 +290,13 @@ def finalize_with_pca(cfg, dataset, sources, model, params, mesh=None,
     with reduction (netvlad_img.py:212-233). Honors the pool/vlad feature
     selection like the reference's vlad=args.vlad plumbing."""
     feature = "vlad" if getattr(cfg, "use_vlad", True) else "pool"
+    emodel = eval_view(model)
     bs = cfg.data.test_batch_size
     feats = np.concatenate([
-        extract_features(model.apply, params,
+        extract_features(emodel.apply, params,
                          BatchLoader(sources["q_train"], batch_size=bs),
                          mesh=mesh, feature=feature),
-        extract_features(model.apply, params,
+        extract_features(emodel.apply, params,
                          BatchLoader(sources["db_train"], batch_size=bs),
                          mesh=mesh, feature=feature),
     ])
@@ -296,7 +310,7 @@ def finalize_with_pca(cfg, dataset, sources, model, params, mesh=None,
     pca.train(feats)
     if verbose:
         print("Testing with PCA reduction:")
-    evaluator = Evaluator(model.apply, mesh=mesh, feature=feature)
+    evaluator = Evaluator(emodel.apply, mesh=mesh, feature=feature)
     return evaluator.evaluate(
         params,
         BatchLoader(sources["q_test"], batch_size=bs),
@@ -316,9 +330,10 @@ def run_sfrs_training(cfg, mesh=None, verbose=True):
     dataset = load_dataset(cfg)
     sources = make_sources(cfg, dataset)
     model, params = build_model(cfg, dataset, region=True)
+    emodel = eval_view(model)
     pristine = jax.tree.map(np.asarray, params)  # re-init source per gen
     teacher = jax.tree.map(jnp.array, params)  # real copy (params get donated)
-    evaluator = Evaluator(model.apply, mesh=mesh)
+    evaluator = Evaluator(emodel.apply, mesh=mesh)
 
     trainer = SFRSTrainer(
         model, loss_type=cfg.loss_type, margin=cfg.margin,
@@ -383,14 +398,14 @@ def run_sfrs_training(cfg, mesh=None, verbose=True):
             ):
                 jaccard_rows = None
                 g_feats = extract_features(
-                    model.apply, params,
+                    emodel.apply, params,
                     BatchLoader(sources["db_train"], batch_size=bs), mesh=mesh,
                 )
                 if gen > 0:
                     # Jaccard mining needs all-query distmats
                     # (netvlad_img_sfrs.py:84-93)
                     q_all = extract_features(
-                        model.apply, params,
+                        emodel.apply, params,
                         BatchLoader(sources["q_train"], batch_size=bs), mesh=mesh,
                     )
                     from openibl_tpu.ops.rerank import re_ranking
@@ -413,7 +428,7 @@ def run_sfrs_training(cfg, mesh=None, verbose=True):
                     q_feats = q_all[subset]
                 else:
                     q_feats = extract_features(
-                        model.apply, params,
+                        emodel.apply, params,
                         BatchLoader(sources["q_train"], indices=subset,
                                     batch_size=bs),
                         mesh=mesh,
@@ -476,6 +491,7 @@ def run_eval(cfg, mesh=None, train_cfg=None, verbose=True):
 
     nv = models.NetVLAD(num_clusters=cfg.num_clusters)
     model = models.create("embednet", net_vlad=nv)
+    model = eval_view(model)
     params = model.init(jax.random.PRNGKey(0))
     if cfg.checkpoint:
         if cfg.checkpoint.endswith((".pth", ".pth.tar")):
