@@ -1,17 +1,23 @@
 """TokyoTM (train/val) + Tokyo 24/7 (test) dataset.
 
-Mirrors the reference's arrangement (/root/reference/ibl/datasets/tokyo.py):
-TokyoTM locations become per-timestamp sub-identities (pid = location dir,
-split by timestamp); each val location with >1 timestamp donates one random
-timestamp as the query. Tokyo 24/7 is test-only; db filenames swap .jpg→.png
-(tokyo.py:118), query pid keyed by UTM pair, db pid by directory.
+Behavior parity with the reference arrangement
+(/root/reference/ibl/datasets/tokyo.py:33-157), expressed as a two-stage
+parse-then-group pipeline instead of in-place registry mutation:
+
+* TokyoTM images are grouped location -> timestamp; each timestamp bucket
+  becomes its own pid (sub-identity) so temporally distinct shots of one
+  place never count as the same item. A val location with >1 timestamp
+  donates one (randomly chosen) timestamp bucket as the val query, the rest
+  as val gallery.
+* Tokyo 24/7 is test-only: query pids are keyed by their UTM pair, gallery
+  pids by panorama directory, and gallery filenames switch .jpg -> .png
+  (the released 24/7 database ships PNGs).
 """
 
 import os.path as osp
 import random
 from collections import namedtuple
-
-import numpy as np
+from itertools import chain
 
 from openibl_tpu.data.dataset import Dataset, write_json
 from openibl_tpu.data.pitts import read_mat_struct
@@ -36,6 +42,61 @@ def parse_db_struct(path, time_stamp=True):
     )
 
 
+class _PidTable:
+    """Accumulates (image-list, utm) identities, handing out dense pids."""
+
+    def __init__(self):
+        self.identities = []
+        self.utms = []
+
+    def add(self, images, utm):
+        self.identities.append(images)
+        self.utms.append(utm)
+        return len(self.identities) - 1
+
+
+def _tm_records(raw_dir, split):
+    """One TokyoTM .mat → flat (location, timestamp, full_path, utm) records,
+    queries first (the reference scans qImage + dbImage in that order)."""
+    s = parse_db_struct(osp.join(raw_dir, f"tokyoTM_{split}.mat"), time_stamp=True)
+    for rel, utm in chain(zip(s.qImage, s.utmQ), zip(s.dbImage, s.utmDb)):
+        parts = rel.split("/")
+        yield parts[1], parts[2], osp.join("tokyoTM", "images", rel), utm.tolist()
+
+
+def _group_tm(raw_dir):
+    """All TM records → ordered {location: (owner_split, utm, {ts: [paths]})}.
+
+    A location belongs to whichever split's .mat mentions it first (train
+    wins ties, since train is scanned first); timestamp buckets keep first-
+    appearance order and de-duplicate paths.
+    """
+    locations = {}
+    for split in ("train", "val"):
+        for loc, ts, path, utm in _tm_records(raw_dir, split):
+            if loc not in locations:
+                locations[loc] = {"owner": split, "utm": utm, "stamps": {}}
+            entry = locations[loc]
+            if entry["utm"] != utm:
+                raise ValueError(f"UTM mismatch for TokyoTM location {loc}")
+            bucket = entry["stamps"].setdefault(ts, [])
+            if path not in bucket:
+                bucket.append(path)
+    return locations
+
+
+def _group_by_key(names, utms, key_of, path_of):
+    """Tokyo 24/7 records → ordered [(paths, utm)] grouped by key_of(...)."""
+    groups = {}
+    for rel, utm in zip(names, utms):
+        key = key_of(rel, utm)
+        paths, first_utm = groups.setdefault(key, ([], utm.tolist()))
+        if first_utm != utm.tolist():
+            raise ValueError(f"UTM mismatch for Tokyo 24/7 group {key}")
+        paths.append(path_of(rel))
+    return groups.values()
+
+
 class Tokyo(Dataset):
     def __init__(self, root, scale=None, verbose=True, seed=None):
         super().__init__(root)
@@ -49,102 +110,55 @@ class Tokyo(Dataset):
         raw_dir = osp.join(self.root, "raw")
         if not osp.isdir(raw_dir):
             raise RuntimeError(f"Dataset not found at {raw_dir}")
-        tm_root = osp.join("tokyoTM", "images")
-        db_root = osp.join("tokyo247", "images")
-        q_root = osp.join("tokyo247", "query")
 
-        identities, utms = [], []
-        pids, pids_ts = {}, {}
+        table = _PidTable()
+        split_pids = {key: [] for key in
+                      ("train", "q_val", "db_val", "q_test", "db_test")}
 
-        def register_tm(split):
-            struct = parse_db_struct(
-                osp.join(raw_dir, f"tokyoTM_{split}.mat"), time_stamp=True
-            )
-            images = struct.qImage + struct.dbImage
-            coords = np.concatenate([struct.utmQ, struct.utmDb])
-            ids = []
-            for fpath, utm in zip(images, coords):
-                sid = fpath.split("/")[1]  # location dir
-                if sid not in pids:
-                    pids[sid] = len(identities)
-                    pids_ts[sid] = []
-                    identities.append([])
-                    utms.append(utm.tolist())
-                    ids.append(pids[sid])
-                ts = fpath.split("/")[2]  # timestamp dir
-                if ts not in pids_ts[sid]:
-                    pids_ts[sid].append(ts)
-                    identities[pids[sid]].append([])
-                id_ts = pids_ts[sid].index(ts)
-                full = osp.join(tm_root, fpath)
-                if full not in identities[pids[sid]][id_ts]:
-                    identities[pids[sid]][id_ts].append(full)
-                assert utms[pids[sid]] == utm.tolist(), "UTM mismatch"
-            return ids
+        # --- TokyoTM: one pid per (location, timestamp) bucket -------------
+        for entry in _group_tm(raw_dir).values():
+            buckets = [sorted(b) for b in entry["stamps"].values()]
+            utm = entry["utm"]
+            if entry["owner"] == "train":
+                dest_by_bucket = [("train", b) for b in buckets]
+            else:
+                dest_by_bucket = []
+                if len(buckets) > 1:
+                    query = buckets.pop(self._rng.randrange(len(buckets)))
+                    dest_by_bucket.append(("q_val", query))
+                dest_by_bucket += [("db_val", b) for b in buckets]
+            for dest, bucket in dest_by_bucket:
+                split_pids[dest].append(table.add(bucket, utm))
 
-        train_pids = register_tm("train")
-        val_pids = register_tm("val")
-
-        # flatten timestamp sub-identities (reference tokyo.py:76-98)
-        new_identities, new_utms, new_train = [], [], []
-        q_val, db_val = [], []
-        for p, identity in enumerate(identities):
-            if p in train_pids:
-                for sub in identity:
-                    new_train.append(len(new_identities))
-                    new_identities.append(sorted(sub))
-                    new_utms.append(utms[p])
-            if p in val_pids:
-                if len(identity) > 1:
-                    q_idx = self._rng.randrange(len(identity))
-                    query = identity.pop(q_idx)
-                    q_val.append(len(new_identities))
-                    new_identities.append(sorted(query))
-                    new_utms.append(utms[p])
-                for sub in identity:
-                    db_val.append(len(new_identities))
-                    new_identities.append(sorted(sub))
-                    new_utms.append(utms[p])
-
-        identities, utms = new_identities, new_utms
-        train_pids = new_train
-
-        # Tokyo 24/7 test split (reference register_247, tokyo.py:102-131)
-        struct = parse_db_struct(osp.join(raw_dir, "tokyo247.mat"), time_stamp=False)
-        q_pids, db_pids = {}, {}
-        q_test, db_test = [], []
-        for fpath, utm in zip(struct.qImage, struct.utmQ):
-            sid = f"{utm[0]}_{utm[1]}"
-            if sid not in q_pids:
-                q_pids[sid] = len(identities)
-                identities.append([])
-                utms.append(utm.tolist())
-                q_test.append(q_pids[sid])
-            identities[q_pids[sid]].append(osp.join(q_root, fpath))
-            assert utms[q_pids[sid]] == utm.tolist()
-        for fpath, utm in zip(struct.dbImage, struct.utmDb):
-            sid = osp.dirname(fpath)
-            fpath = fpath[:-3] + "png"  # release ships PNGs for the 24/7 db
-            if sid not in db_pids:
-                db_pids[sid] = len(identities)
-                identities.append([])
-                utms.append(utm.tolist())
-                db_test.append(db_pids[sid])
-            identities[db_pids[sid]].append(osp.join(db_root, fpath))
-            assert utms[db_pids[sid]] == utm.tolist()
+        # --- Tokyo 24/7 test split ------------------------------------------
+        s247 = parse_db_struct(osp.join(raw_dir, "tokyo247.mat"), time_stamp=False)
+        query_groups = _group_by_key(
+            s247.qImage, s247.utmQ,
+            key_of=lambda rel, utm: f"{utm[0]}_{utm[1]}",
+            path_of=lambda rel: osp.join("tokyo247", "query", rel),
+        )
+        db_groups = _group_by_key(
+            s247.dbImage, s247.utmDb,
+            key_of=lambda rel, utm: osp.dirname(rel),
+            # the released 24/7 database ships .png where the .mat says .jpg
+            path_of=lambda rel: osp.join("tokyo247", "images", rel[:-3] + "png"),
+        )
+        for dest, groups in (("q_test", query_groups), ("db_test", db_groups)):
+            for paths, utm in groups:
+                split_pids[dest].append(table.add(paths, utm))
 
         write_json(
-            {"name": "Tokyo", "identities": identities, "utm": utms},
+            {"name": "Tokyo", "identities": table.identities, "utm": table.utms},
             osp.join(self.root, "meta.json"),
         )
         write_json(
             {
-                "q_train": sorted(train_pids),
-                "db_train": sorted(train_pids),
-                "q_val": sorted(q_val),
-                "db_val": sorted(db_val),
-                "q_test": sorted(q_test),
-                "db_test": sorted(db_test),
+                "q_train": sorted(split_pids["train"]),
+                "db_train": sorted(split_pids["train"]),
+                "q_val": sorted(split_pids["q_val"]),
+                "db_val": sorted(split_pids["db_val"]),
+                "q_test": sorted(split_pids["q_test"]),
+                "db_test": sorted(split_pids["db_test"]),
             },
             osp.join(self.root, "splits.json"),
         )
