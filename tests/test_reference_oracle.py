@@ -1,0 +1,395 @@
+"""Reference-as-oracle fidelity suite.
+
+The strongest accuracy-parity evidence obtainable with zero data egress:
+import the reference's own torch modules from /root/reference (read-only) as
+oracles, push the SAME random weights through both stacks via the converter,
+and assert end-to-end equality of descriptors / similarities / losses /
+rerank / PCA. Unlike the hand-derived numpy goldens in test_models_golden.py,
+this catches a shared misreading of the reference.
+
+Oracles exercised (reference file:line):
+  * EmbedNet / EmbedNetPCA full descriptor chain (ibl/models/netvlad.py:63-110)
+  * EmbedRegionNet 9-region train path           (ibl/models/netvlad.py:112-207)
+  * NetVLAD centroid/alpha init                  (ibl/models/netvlad.py:34-42)
+  * Trainer losses: triplet / sare_joint / sare_ind (ibl/trainers.py:82-162)
+  * SFRSTrainer._forward hard+soft losses        (ibl/trainers.py:235-315)
+  * PCA train/load/infer, primal + dual          (ibl/pca.py:28-123)
+  * k-reciprocal re_ranking                      (ibl/utils/rerank.py:32)
+
+The reference package's __init__ pulls torchvision (absent here), so modules
+are imported under namespace-package stubs; torch.symeig (removed in torch 2)
+is shimmed onto torch.linalg.eigh and .cuda() onto identity for the PCA
+oracle only — the oracle math itself runs unmodified.
+"""
+
+import importlib
+import os.path as osp
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from openibl_tpu import models
+from openibl_tpu.models import convert
+from openibl_tpu.ops import losses as our_losses
+
+REF_ROOT = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not osp.isdir(REF_ROOT), reason="reference checkout not mounted"
+)
+
+
+def load_ref(name):
+    """Import a reference module without executing the package __init__s
+    (which import torchvision / the full dependency graph)."""
+    if REF_ROOT not in sys.path:
+        sys.path.insert(0, REF_ROOT)
+    for pkg in ("ibl", "ibl.models"):
+        if pkg not in sys.modules:
+            stub = types.ModuleType(pkg)
+            stub.__path__ = [osp.join(REF_ROOT, *pkg.split("."))]
+            sys.modules[pkg] = stub
+    return importlib.import_module(name)
+
+
+# ---------------------------------------------------------------------------
+# Shared fixtures: a torch backbone with the reference VGG's exact surface
+# (truncated torchvision `features` + adaptive max pool, ibl/models/vgg.py:41-70)
+# so reference model classes run unmodified and the state dict converts with
+# the released-checkpoint key layout (base_model.base.<i>.*).
+# ---------------------------------------------------------------------------
+
+VGG16_CFG = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+             512, 512, 512, "M", 512, 512, 512]
+
+
+class TorchVGGBase(torch.nn.Module):
+    def __init__(self, seed=0):
+        super().__init__()
+        g = torch.Generator().manual_seed(seed)
+        layers, cin = [], 3
+        for v in VGG16_CFG:
+            if v == "M":
+                layers.append(torch.nn.MaxPool2d(2, 2))
+            else:
+                conv = torch.nn.Conv2d(cin, v, 3, padding=1)
+                with torch.no_grad():
+                    conv.weight.copy_(torch.randn(conv.weight.shape, generator=g) * 0.05)
+                    conv.bias.copy_(torch.randn(conv.bias.shape, generator=g) * 0.05)
+                layers += [conv, torch.nn.ReLU(inplace=True)]
+                cin = v
+        # reference vgg.py:41-42: drop the final ReLU (and the last MaxPool,
+        # which torchvision appends after the cfg) from `features`
+        self.base = torch.nn.Sequential(*layers[:-1])
+        self.gap = torch.nn.AdaptiveMaxPool2d(1)
+
+    def forward(self, x):
+        x = self.base(x)
+        pool_x = self.gap(x).view(x.size(0), -1)
+        return pool_x, x
+
+
+def _rand_netvlad(ref_netvlad_mod, k, seed):
+    nv = ref_netvlad_mod.NetVLAD(num_clusters=k, dim=512)
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        nv.conv.weight.copy_(torch.randn(nv.conv.weight.shape, generator=g))
+        nv.centroids.copy_(torch.randn(nv.centroids.shape, generator=g))
+    return nv
+
+
+def _images(rng, n, h, w):
+    """Raw-pixel-scale images, NCHW float32 (the preprocessing regime both
+    stacks expect: ~[0,255] minus mean*255)."""
+    return (rng.rand(n, 3, h, w).astype(np.float32) * 255.0) - 117.0
+
+
+def _nhwc(x):
+    return jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+
+
+@pytest.fixture(scope="module")
+def ref_netvlad_mod():
+    return load_ref("ibl.models.netvlad")
+
+
+@pytest.fixture(scope="module")
+def ref_trainers_mod():
+    return load_ref("ibl.trainers")
+
+
+# ---------------------------------------------------------------------------
+# C2-C4: EmbedNet / EmbedNetPCA descriptor chain
+# ---------------------------------------------------------------------------
+
+class TestDescriptorChain:
+    K = 8
+
+    def test_embednet_descriptors_match(self, ref_netvlad_mod, rng):
+        ref = ref_netvlad_mod.EmbedNet(
+            TorchVGGBase(seed=1), _rand_netvlad(ref_netvlad_mod, self.K, 2)
+        ).eval()
+        ours = models.create("embednet", net_vlad=models.NetVLAD(num_clusters=self.K))
+        params = convert.embednet_params_from_torch(ref.state_dict())
+
+        x = _images(rng, 2, 32, 48)
+        with torch.no_grad():
+            pool_ref, vlad_ref = ref(torch.from_numpy(x))
+        pool_ours, vlad_ours = ours.apply(params, _nhwc(x))
+        np.testing.assert_allclose(
+            np.asarray(vlad_ours), vlad_ref.numpy(), rtol=1e-4, atol=1e-5
+        )
+        # pool_x is a max over ~1e4-magnitude conv activations computed in a
+        # different accumulation order; 1e-3 relative is bit-noise at 1e4 scale
+        np.testing.assert_allclose(
+            np.asarray(pool_ours), pool_ref.numpy(), rtol=1e-3, atol=1e-4
+        )
+
+    def test_embednetpca_descriptors_match(self, ref_netvlad_mod, rng):
+        ref = ref_netvlad_mod.EmbedNetPCA(
+            TorchVGGBase(seed=3), _rand_netvlad(ref_netvlad_mod, self.K, 4), dim=32
+        ).eval()
+        ours = models.create(
+            "embednetpca", net_vlad=models.NetVLAD(num_clusters=self.K), pca_dim=32
+        )
+        params = convert.embednetpca_params_from_torch(ref.state_dict())
+
+        x = _images(rng, 2, 32, 48)
+        with torch.no_grad():
+            desc_ref = ref(torch.from_numpy(x))
+        desc_ours = ours.apply(params, _nhwc(x))
+        np.testing.assert_allclose(
+            np.asarray(desc_ours), desc_ref.numpy(), rtol=1e-4, atol=1e-5
+        )
+
+    def test_netvlad_cluster_init_matches(self, ref_netvlad_mod, rng):
+        """alpha/centroid bootstrap (ibl/models/netvlad.py:34-42)."""
+        clsts = rng.randn(self.K, 512).astype(np.float32)
+        descs = rng.randn(100, 512).astype(np.float32)
+        nv = ref_netvlad_mod.NetVLAD(num_clusters=self.K, dim=512)
+        nv.clsts, nv.traindescs = clsts, descs
+        nv._init_params()
+        ours = models.netvlad_init_from_clusters(clsts, descs)
+        np.testing.assert_allclose(
+            np.asarray(ours["assign_w"]).T,
+            nv.conv.weight.detach().numpy()[:, :, 0, 0],
+            rtol=1e-5, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(ours["centroids"]), nv.centroids.detach().numpy(),
+            rtol=1e-6, atol=0,
+        )
+
+
+# ---------------------------------------------------------------------------
+# C5: EmbedRegionNet 9-region train path
+# ---------------------------------------------------------------------------
+
+class TestRegionNet:
+    def test_train_forward_matches(self, ref_netvlad_mod, rng):
+        # tuple_size=1 — the published recipe's value AND the only value the
+        # reference's .view()-based _forward_train accepts (a T>1 slice is
+        # non-contiguous); ours is batch-agnostic, tested at T>1 elsewhere
+        T, G, K = 1, 4, 4  # 1 tuple of (anchor, pos, 2 negs)
+        ref = ref_netvlad_mod.EmbedRegionNet(
+            TorchVGGBase(seed=5), _rand_netvlad(ref_netvlad_mod, K, 6),
+            tuple_size=T,
+        ).train()
+        ours = models.create(
+            "embedregionnet", net_vlad=models.NetVLAD(num_clusters=K),
+            tuple_size=T,
+        )
+        params = convert.embednet_params_from_torch(ref.state_dict())
+
+        x = _images(rng, T * G, 32, 32)  # conv5 map 2x2 -> 1x1 quarters
+        with torch.no_grad():
+            score_ref, va_ref, vp_ref = ref(torch.from_numpy(x))
+        score_ours, va_ours, vp_ours = ours.apply_train(params, _nhwc(x))
+        np.testing.assert_allclose(
+            np.asarray(va_ours), va_ref.numpy(), rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(vp_ours), vp_ref.numpy(), rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(score_ours), score_ref.numpy(), rtol=1e-4, atol=1e-5
+        )
+
+
+# ---------------------------------------------------------------------------
+# C7: baseline Trainer losses (values AND input gradients)
+# ---------------------------------------------------------------------------
+
+class TestBaselineLosses:
+    B, NEG, L = 3, 4, 64
+    MARGIN = float(np.sqrt(0.1))
+
+    def _desc(self, rng):
+        d = rng.randn(self.B, 2 + self.NEG, self.L).astype(np.float32)
+        return d / np.linalg.norm(d, axis=-1, keepdims=True)
+
+    @pytest.mark.parametrize("loss_type", ["triplet", "sare_joint", "sare_ind"])
+    def test_loss_and_grad_match(self, ref_trainers_mod, rng, loss_type):
+        desc = self._desc(rng)
+        trainer = ref_trainers_mod.Trainer(model=None, margin=self.MARGIN)
+        t_desc = torch.from_numpy(desc.reshape(-1, self.L)).requires_grad_(True)
+        loss_ref = trainer._get_loss(t_desc, loss_type, self.B, 2 + self.NEG)
+        (grad_ref,) = torch.autograd.grad(loss_ref, t_desc)
+
+        loss_fn = lambda d: our_losses.tuple_loss(d, loss_type, margin=self.MARGIN)
+        loss_ours, grad_ours = jax.value_and_grad(loss_fn)(jnp.asarray(desc))
+        np.testing.assert_allclose(
+            float(loss_ours), float(loss_ref.detach()), rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(grad_ours).reshape(-1, self.L), grad_ref.numpy(),
+            rtol=1e-4, atol=1e-6,
+        )
+
+
+# ---------------------------------------------------------------------------
+# C8: SFRS full _forward (hard + soft) through real region models
+# ---------------------------------------------------------------------------
+
+class TestSFRSLosses:
+    T, NEG, POS, K = 1, 2, 3, 4  # tuple_size=1: see TestRegionNet note
+
+    def _setup(self, ref_netvlad_mod, ref_trainers_mod):
+        student = ref_netvlad_mod.EmbedRegionNet(
+            TorchVGGBase(seed=7), _rand_netvlad(ref_netvlad_mod, self.K, 8),
+            tuple_size=self.T,
+        ).train()
+        teacher = ref_netvlad_mod.EmbedRegionNet(
+            TorchVGGBase(seed=9), _rand_netvlad(ref_netvlad_mod, self.K, 10),
+            tuple_size=self.T,
+        ).train()
+        ref_tr = ref_trainers_mod.SFRSTrainer(
+            student, teacher, margin=float(np.sqrt(0.1)), neg_num=self.NEG,
+            temp=[0.07, 0.07, 0.06, 0.05],
+        )
+        our_model = models.create(
+            "embedregionnet", net_vlad=models.NetVLAD(num_clusters=self.K),
+            tuple_size=self.T,
+        )
+        from openibl_tpu.engine.sfrs import SFRSTrainer as OurSFRS
+
+        our_tr = OurSFRS(our_model, loss_type="sare_ind", neg_num=self.NEG,
+                         temps=(0.07, 0.07, 0.06, 0.05))
+        s_params = convert.embednet_params_from_torch(student.state_dict())
+        t_params = convert.embednet_params_from_torch(teacher.state_dict())
+        return ref_tr, our_tr, s_params, t_params
+
+    @pytest.mark.parametrize("gen", [0, 2])
+    def test_forward_losses_match(self, ref_netvlad_mod, ref_trainers_mod, rng, gen):
+        ref_tr, our_tr, s_params, t_params = self._setup(
+            ref_netvlad_mod, ref_trainers_mod
+        )
+        easy = _images(rng, self.T * (2 + self.NEG), 32, 32).reshape(
+            self.T, 2 + self.NEG, 3, 32, 32
+        )
+        diff = _images(rng, self.T * (1 + self.POS), 32, 32).reshape(
+            self.T, 1 + self.POS, 3, 32, 32
+        )
+        # the diff tuple's image 0 is the SAME anchor as the easy tuple's
+        # (reference _parse_data, trainers.py:228-233)
+        diff[:, 0] = easy[:, 0]
+
+        with torch.no_grad():
+            lh_ref, ls_ref = ref_tr._forward(
+                torch.from_numpy(easy), torch.from_numpy(diff), "sare_ind", gen
+            )
+
+        to_nhwc5 = lambda x: jnp.asarray(np.transpose(x, (0, 1, 3, 4, 2)))
+        _, (lh_ours, ls_ours) = our_tr._loss_fn(
+            s_params, t_params, to_nhwc5(easy), to_nhwc5(diff), gen,
+            lambda_soft=0.5,
+        )
+        np.testing.assert_allclose(
+            float(lh_ours), float(lh_ref), rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            float(ls_ours), float(ls_ref), rtol=1e-4, atol=1e-5
+        )
+
+
+# ---------------------------------------------------------------------------
+# C18: PCA-whitening train/load/infer, primal and dual paths
+# ---------------------------------------------------------------------------
+
+class TestPCA:
+    def _shim(self, monkeypatch):
+        # torch.symeig was removed in torch 2.x; the documented replacement
+        # (ascending eigenvalues, same as symeig) keeps the oracle math intact
+        monkeypatch.setattr(
+            torch, "symeig",
+            lambda a, eigenvectors=True, upper=True: torch.linalg.eigh(
+                a, UPLO="U" if upper else "L"
+            ),
+            raising=False,
+        )
+        # CPU-only torch: .cuda(None) -> identity
+        monkeypatch.setattr(
+            torch.Tensor, "cuda", lambda self, *a, **k: self, raising=False
+        )
+
+    @pytest.mark.parametrize("n,d,k", [(60, 24, 8), (16, 48, 8)])  # primal, dual
+    def test_projection_matches(self, rng, tmp_path, monkeypatch, n, d, k):
+        self._shim(monkeypatch)
+        ref_pca_mod = load_ref("ibl.pca")
+        x = rng.randn(n, d).astype(np.float32)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+
+        ref = ref_pca_mod.PCA(
+            pca_n_components=k, pca_whitening=True,
+            pca_parameters_path=str(tmp_path / "pca.h5"),
+        )
+        ref.train(torch.from_numpy(x.copy()))
+        ref.load(gpu=None)
+        with torch.no_grad():
+            out_ref = ref.infer(torch.from_numpy(x.copy())).numpy()
+
+        from openibl_tpu.ops.pca import PCA as OurPCA
+
+        ours = OurPCA(n_components=k, whiten=True)
+        ours.train(x)
+        out_ours = np.asarray(ours.infer(x))
+
+        # eigenvector signs are arbitrary and may differ between eigh
+        # implementations; distances are sign-invariant, so compare after
+        # aligning each whitened component's sign via the outputs themselves
+        sign = np.sign(np.sum(out_ref * out_ours, axis=0, keepdims=True))
+        np.testing.assert_allclose(out_ours * sign, out_ref, rtol=1e-3, atol=1e-4)
+        # and the retrieval-relevant invariant: pairwise distances
+        d_ref = np.linalg.norm(out_ref[:, None] - out_ref[None], axis=-1)
+        d_ours = np.linalg.norm(out_ours[:, None] - out_ours[None], axis=-1)
+        np.testing.assert_allclose(d_ours, d_ref, rtol=1e-3, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# C17: k-reciprocal re-ranking
+# ---------------------------------------------------------------------------
+
+class TestRerank:
+    @pytest.mark.parametrize("k1,k2,lam", [(25, 1, 0.3), (20, 6, 0.3)])
+    def test_rerank_matches(self, rng, k1, k2, lam):
+        ref_rerank_mod = load_ref("ibl.utils.rerank")
+        from openibl_tpu.ops.rerank import re_ranking as our_rerank
+
+        q = rng.randn(30, 16).astype(np.float32)
+        g = rng.randn(80, 16).astype(np.float32)
+        sq = lambda a, b: (
+            (a ** 2).sum(1)[:, None] + (b ** 2).sum(1)[None] - 2 * a @ b.T
+        )
+        q_g, q_q, g_g = sq(q, g), sq(q, q), sq(g, g)
+        ref_out = ref_rerank_mod.re_ranking(
+            q_g.copy(), q_q.copy(), g_g.copy(), k1=k1, k2=k2, lambda_value=lam
+        )
+        our_out = our_rerank(q_g, q_q, g_g, k1=k1, k2=k2, lambda_value=lam)
+        np.testing.assert_allclose(our_out, ref_out, rtol=1e-4, atol=1e-5)
