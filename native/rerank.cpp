@@ -35,10 +35,15 @@ void k_reciprocal(const int32_t* rank, int64_t rank_cols, int64_t i,
 
 }  // namespace
 
-extern "C" int64_t expansion_weights(
-    const float* original, const int32_t* rank, int64_t n, int64_t rank_cols,
-    int32_t k1, int32_t half, int32_t* out_rows, int32_t* out_cols,
-    float* out_vals, int64_t cap) {
+namespace {
+
+// Shared expansion loop. When `original` is non-null, emits the exp(-d)
+// L1-normalized weights; otherwise emits only the (row, col) index pairs
+// (the caller computes values from features — the streaming / no-N^2 path).
+int64_t expansion_impl(const float* original, const int32_t* rank, int64_t n,
+                       int64_t rank_cols, int32_t k1, int32_t half,
+                       int32_t* out_rows, int32_t* out_cols, float* out_vals,
+                       int64_t cap) {
   // `half` comes from the caller (np.around(k1/2), half-to-even) so the
   // native and numpy paths and the output-capacity bound always agree
   int64_t written = 0;
@@ -63,17 +68,38 @@ extern "C" int64_t expansion_weights(
     expansion.erase(std::unique(expansion.begin(), expansion.end()),
                     expansion.end());
 
-    double sum = 0.0;
-    const float* row = original + i * n;
-    for (int32_t e : expansion) sum += std::exp(-static_cast<double>(row[e]));
     if (written + static_cast<int64_t>(expansion.size()) > cap) return -1;
+    double sum = 0.0;
+    const float* row = original ? original + i * n : nullptr;
+    if (row) {
+      for (int32_t e : expansion) sum += std::exp(-static_cast<double>(row[e]));
+    }
     for (int32_t e : expansion) {
       out_rows[written] = static_cast<int32_t>(i);
       out_cols[written] = e;
-      out_vals[written] =
-          static_cast<float>(std::exp(-static_cast<double>(row[e])) / sum);
+      if (row) {
+        out_vals[written] =
+            static_cast<float>(std::exp(-static_cast<double>(row[e])) / sum);
+      }
       ++written;
     }
   }
   return written;
+}
+
+}  // namespace
+
+extern "C" int64_t expansion_weights(
+    const float* original, const int32_t* rank, int64_t n, int64_t rank_cols,
+    int32_t k1, int32_t half, int32_t* out_rows, int32_t* out_cols,
+    float* out_vals, int64_t cap) {
+  return expansion_impl(original, rank, n, rank_cols, k1, half, out_rows,
+                        out_cols, out_vals, cap);
+}
+
+extern "C" int64_t expansion_sets(
+    const int32_t* rank, int64_t n, int64_t rank_cols, int32_t k1,
+    int32_t half, int32_t* out_rows, int32_t* out_cols, int64_t cap) {
+  return expansion_impl(nullptr, rank, n, rank_cols, k1, half, out_rows,
+                        out_cols, nullptr, cap);
 }

@@ -140,6 +140,77 @@ class TupleLoader:
         return _prefetch(self._gen(), self.prefetch_depth)
 
 
+class PaddedBatchLoader:
+    """Batches variable-shape items by zero-padding to a per-bucket shape.
+
+    Items are bucketed by orientation (portrait / landscape) and each bucket
+    padded to its max (H, W); with the masked model forward
+    (EmbedNet.apply_masked) one jit specialization per bucket serves every
+    aspect ratio exactly — vs the reference's batch-1 per-shape queries
+    (/root/reference/examples/test.py:44-46) and GroupedBatchLoader's
+    compile-per-shape. Fixed shapes also make the batches mesh-shardable.
+
+    Yields (images (B, Hb, Wb, 3), valid_hw (B, 2) int32, indices, count).
+    """
+
+    def __init__(self, source: ImageSource, indices=None, batch_size=32,
+                 prefetch=2):
+        self.source = source
+        self.indices = (
+            np.arange(len(source)) if indices is None else np.asarray(indices)
+        )
+        self.batch_size = batch_size
+        self.prefetch_depth = prefetch
+        self._buckets = None
+
+    def _shape(self, i):
+        shape = None
+        if hasattr(self.source, "shape_of"):
+            shape = self.source.shape_of(int(i))
+        if shape is None:
+            shape = self.source.load(int(i)).shape
+        return tuple(shape[:2])
+
+    def _ensure_buckets(self):
+        if self._buckets is not None:
+            return
+        buckets = {}  # orientation -> {"idx": [...], "hw": [...], "pad": [h, w]}
+        for i in self.indices:
+            h, w = self._shape(i)
+            b = buckets.setdefault(h >= w, {"idx": [], "hw": [], "pad": [0, 0]})
+            b["idx"].append(int(i))
+            b["hw"].append((h, w))
+            b["pad"][0] = max(b["pad"][0], h)
+            b["pad"][1] = max(b["pad"][1], w)
+        self._buckets = list(buckets.values())
+
+    def __len__(self):
+        self._ensure_buckets()
+        return sum(-(-len(b["idx"]) // self.batch_size) for b in self._buckets)
+
+    def _gen(self):
+        self._ensure_buckets()
+        bs = self.batch_size
+        for b in self._buckets:
+            hb, wb = b["pad"]
+            for s in range(0, len(b["idx"]), bs):
+                idx = np.asarray(b["idx"][s : s + bs])
+                hws = np.asarray(b["hw"][s : s + bs], np.int32)
+                count = len(idx)
+                if count < bs:
+                    idx = np.concatenate([idx, np.repeat(idx[-1:], bs - count)])
+                    hws = np.concatenate([hws, np.repeat(hws[-1:], bs - count, 0)])
+                first = self.source.load(int(idx[0]))
+                imgs = np.zeros((bs, hb, wb, 3), first.dtype)
+                for j, i in enumerate(idx):
+                    im = first if j == 0 else self.source.load(int(i))
+                    imgs[j, : im.shape[0], : im.shape[1]] = im
+                yield imgs, hws, idx, count
+
+    def __iter__(self):
+        return _prefetch(self._gen(), self.prefetch_depth)
+
+
 class GroupedBatchLoader:
     """Batches items grouped by transformed image shape.
 

@@ -49,6 +49,12 @@ def recalls_from_ranks(sorted_idx, ground_truth, gallery_pids=None,
     return correct_at_n / len(sorted_idx)
 
 
+# above this size the union (q+g)^2 distance matrices the rerank path needs
+# stop fitting host RAM (Pitts250k union ~91k -> 33 GB f32); the streaming
+# rerank computes the same math from features without materializing them
+_RERANK_DISTMAT_BUDGET_BYTES = 2 * 1024**3
+
+
 def evaluate_descriptors(q_feats, g_feats, ground_truth, gallery_pids=None,
                          topk=(1, 5, 10), nms=False, rerank=False,
                          rr_topk=25, lambda_value=0, print_results=True,
@@ -80,17 +86,29 @@ def evaluate_descriptors(q_feats, g_feats, ground_truth, gallery_pids=None,
     if not rerank:
         return recalls
 
-    # k-reciprocal rerank over full distance matrices (reference
-    # Evaluator.evaluate, evaluators.py:194-199; distances enter squared,
-    # matching pairwise_distance's output)
-    from openibl_tpu.ops.rerank import re_ranking
+    # k-reciprocal rerank (reference Evaluator.evaluate,
+    # evaluators.py:194-199; distances enter squared, matching
+    # pairwise_distance's output). Small problems materialize the three
+    # distance matrices; past the memory budget the streaming path computes
+    # the identical math from the descriptors (Pitts250k's g-g alone is
+    # ~27 GB f32 — the reference simply cannot rerank at that scale)
+    n_union = len(q_feats) + len(g_feats)
+    if 4 * n_union * n_union > _RERANK_DISTMAT_BUDGET_BYTES:
+        from openibl_tpu.ops.rerank import rerank_ranks_streaming
 
-    d_qg = np.asarray(pairwise_sqdist(q_feats, g_feats))
-    d_qq = np.asarray(pairwise_sqdist(q_feats, q_feats))
-    d_gg = np.asarray(pairwise_sqdist(g_feats, g_feats))
-    final = re_ranking(d_qg, d_qq, d_gg, k1=rr_topk, k2=1,
-                       lambda_value=lambda_value)
-    order = np.argsort(final, axis=1)[:, :k_need]
+        order, _ = rerank_ranks_streaming(
+            q_feats, g_feats, k1=rr_topk, k2=1,
+            lambda_value=lambda_value, k_out=k_need,
+        )
+    else:
+        from openibl_tpu.ops.rerank import re_ranking
+
+        d_qg = np.asarray(pairwise_sqdist(q_feats, g_feats))
+        d_qq = np.asarray(pairwise_sqdist(q_feats, q_feats))
+        d_gg = np.asarray(pairwise_sqdist(g_feats, g_feats))
+        final = re_ranking(d_qg, d_qq, d_gg, k1=rr_topk, k2=1,
+                           lambda_value=lambda_value)
+        order = np.argsort(final, axis=1)[:, :k_need]
     recalls = recalls_from_ranks(order, ground_truth, gallery_pids, topk, nms)
     if print_results:
         print("after re-ranking:")
@@ -108,15 +126,18 @@ class Evaluator:
     """Binds a model apply fn + mesh; evaluates loaders end to end
     (reference Evaluator, evaluators.py:171-201)."""
 
-    def __init__(self, apply_fn, mesh=None, feature="vlad"):
+    def __init__(self, apply_fn, mesh=None, feature="vlad",
+                 masked_apply_fn=None):
         self.apply_fn = apply_fn
         self.mesh = mesh
         self.feature = feature
+        self.masked_apply_fn = masked_apply_fn
 
     def extract(self, params, loader, pca=None, verbose=False):
         return extract_features(self.apply_fn, params, loader,
                                 mesh=self.mesh, pca=pca,
-                                feature=self.feature, verbose=verbose)
+                                feature=self.feature, verbose=verbose,
+                                masked_apply_fn=self.masked_apply_fn)
 
     def evaluate(self, params, query_loader, gallery_loader, ground_truth,
                  gallery_pids=None, pca=None, topk=(1, 5, 10), nms=False,

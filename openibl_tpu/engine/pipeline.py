@@ -402,29 +402,34 @@ def run_sfrs_training(cfg, mesh=None, verbose=True):
                     BatchLoader(sources["db_train"], batch_size=bs), mesh=mesh,
                 )
                 if gen > 0:
-                    # Jaccard mining needs all-query distmats
-                    # (netvlad_img_sfrs.py:84-93)
+                    # Jaccard mining over the full q∪g union
+                    # (netvlad_img_sfrs.py:84-93), but device-resident: V rows
+                    # from the streaming top-k + sparse feature distances, and
+                    # the min/sum intersection as fixed-shape scatter-adds —
+                    # computed ONLY for the subset anchors (the reference
+                    # reranks every query each refresh)
                     q_all = extract_features(
                         emodel.apply, params,
                         BatchLoader(sources["q_train"], batch_size=bs), mesh=mesh,
                     )
-                    from openibl_tpu.ops.rerank import re_ranking
+                    from openibl_tpu.ops.rerank import (
+                        build_v_sparse, jaccard_for_queries,
+                    )
 
-                    # one union pairwise pass on device serves both the three
-                    # rerank blocks and the nearest-neighbor ranking (row
-                    # normalization is order-preserving, see re_ranking)
                     nq = len(q_all)
                     union = np.concatenate([q_all, g_feats])
-                    d_union = pairwise_sqdist(union, union)
-                    _, init_rank = jax.lax.top_k(-d_union, 21)
-                    d_union = np.asarray(d_union)
-                    jac = re_ranking(
-                        d_union[:nq, nq:], d_union[:nq, :nq],
-                        d_union[nq:, nq:], k1=20, k2=1,
-                        lambda_value=cfg.rerank_lambda,
-                        initial_rank=np.asarray(init_rank),
-                    )
-                    jaccard_rows = jac[subset]
+                    rows, cols, vals, _, rm2 = build_v_sparse(union, k1=20)
+                    sub = np.asarray(subset)
+                    jac = jaccard_for_queries(rows, cols, vals, len(union), sub)
+                    if cfg.rerank_lambda:
+                        d2_sub = np.asarray(
+                            pairwise_sqdist(union[sub], union), np.float32
+                        )
+                        jac = jac * (1 - cfg.rerank_lambda) + (
+                            np.square(np.maximum(d2_sub, 0.0))
+                            / rm2[sub][:, None]
+                        ) * cfg.rerank_lambda
+                    jaccard_rows = jac[:, nq:]
                     q_feats = q_all[subset]
                 else:
                     q_feats = extract_features(
@@ -543,13 +548,16 @@ def run_eval(cfg, mesh=None, train_cfg=None, verbose=True):
 
     bs = cfg.data.test_batch_size
     if cfg.data.dataset == "tokyo":
-        # variable query sizes: batch same-shape queries together (one jit
-        # specialization per distinct shape; no mesh sharding since group
-        # sizes vary)
-        from openibl_tpu.data.loader import GroupedBatchLoader
+        # variable query sizes: bucket-pad to one static shape per
+        # orientation and run the masked forward — one (or two) jit
+        # specializations total, exact per-image results, and the fixed
+        # shapes keep the batches mesh-shardable (the reference instead
+        # distributes batch-1 per-shape queries, examples/test.py:44-48)
+        from openibl_tpu.data.loader import PaddedBatchLoader
 
-        q_loader = GroupedBatchLoader(q_src, batch_size=bs)
-        evaluator = Evaluator(model.apply, mesh=None)
+        q_loader = PaddedBatchLoader(q_src, batch_size=bs)
+        evaluator = Evaluator(model.apply, mesh=mesh,
+                              masked_apply_fn=model.apply_masked)
     else:
         q_loader = BatchLoader(q_src, batch_size=bs)
         evaluator = Evaluator(model.apply, mesh=mesh)

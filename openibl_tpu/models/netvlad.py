@@ -73,15 +73,23 @@ def netvlad_apply(
     *,
     normalize_input: bool = True,
     fused: bool = False,
+    valid_hw=None,
 ) -> jnp.ndarray:
     """Soft-assignment VLAD aggregation.
 
     Args:
       fmap: (N, H, W, C) conv feature map (NHWC).
+      valid_hw: optional (N, 2) valid spatial extents (feature-map scale).
+        VLAD is a sum of per-location contributions, so zeroing the soft
+        assignment outside the valid extent makes the padded aggregation
+        exactly equal to aggregating the unpadded map.
     Returns:
       (N, K, C) un-normalized VLAD, matching reference netvlad.py:44-61.
     """
     if fused:
+        if valid_hw is not None:
+            raise ValueError("the fused kernel has no masked path; "
+                             "use fused=False for bucket-padded inputs")
         from openibl_tpu.ops.netvlad_kernel import netvlad_fused
 
         return netvlad_fused(
@@ -99,6 +107,11 @@ def netvlad_apply(
         preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
     )
     a = jax.nn.softmax(logits, axis=-1)  # (N, P, K)
+    if valid_hw is not None:
+        from openibl_tpu.models.vgg import _extent_mask
+
+        mask = _extent_mask(jnp.asarray(valid_hw, jnp.int32), h, w)
+        a = a * mask.reshape(n, h * w, 1)
     # MXU-friendly factorization (see module docstring).
     weighted = jnp.einsum(
         "npk,npc->nkc", a, xf,
@@ -160,9 +173,10 @@ class NetVLAD:
     def init_from_clusters(self, clsts, traindescs):
         return netvlad_init_from_clusters(clsts, traindescs)
 
-    def apply(self, params, fmap):
+    def apply(self, params, fmap, valid_hw=None):
         return netvlad_apply(
-            params, fmap, normalize_input=self.normalize_input, fused=self.fused
+            params, fmap, normalize_input=self.normalize_input,
+            fused=self.fused and valid_hw is None, valid_hw=valid_hw,
         )
 
 
@@ -191,6 +205,22 @@ class EmbedNet:
 
             return pool_x, netvlad_descriptor_fused(params["vlad"], fmap)
         vlad = self.net_vlad.apply(params["vlad"], fmap)
+        return pool_x, vlad_postprocess(vlad)
+
+    def apply_masked(self, params, images, valid_hw):
+        """Forward on bucket-padded images (one jit for all aspect ratios).
+
+        valid_hw: (N, 2) int32 valid (h, w) extents at image scale. Output is
+        bit-equal to apply() on each image at its own true shape (the masked
+        backbone re-zeroes the pad region per layer; the NetVLAD assignment
+        is masked at conv5 scale — VALID pooling makes that extent h//16).
+        """
+        pool_x, fmap = self.base.apply_masked(params["base"], images, valid_hw)
+        hw5 = jnp.asarray(valid_hw, jnp.int32) // 16
+        vlad = netvlad_apply(
+            params["vlad"], fmap,
+            normalize_input=self.net_vlad.normalize_input, valid_hw=hw5,
+        )
         return pool_x, vlad_postprocess(vlad)
 
     def trainable_mask(self, params):
@@ -231,6 +261,16 @@ class EmbedNetPCA:
             vlad = self.net_vlad.apply(params["vlad"], fmap)
             desc = vlad_postprocess(vlad)
         return pca_layer_apply(params["pca"], desc)
+
+    def apply_masked(self, params, images, valid_hw):
+        """Bucket-padded forward; see EmbedNet.apply_masked."""
+        _, fmap = self.base.apply_masked(params["base"], images, valid_hw)
+        vlad = netvlad_apply(
+            params["vlad"], fmap,
+            normalize_input=self.net_vlad.normalize_input,
+            valid_hw=jnp.asarray(valid_hw, jnp.int32) // 16,
+        )
+        return pca_layer_apply(params["pca"], vlad_postprocess(vlad))
 
 
 # region composition order: [global, top, bottom, left, right, q0..q3]

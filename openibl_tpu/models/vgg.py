@@ -70,18 +70,35 @@ def init_vgg16_params(rng) -> Dict[str, Dict[str, jnp.ndarray]]:
     return params
 
 
+def _extent_mask(hw, h, w):
+    """(N, 2) valid extents → (N, h, w, 1) boolean mask."""
+    rows = jnp.arange(h)[None, :, None] < hw[:, 0][:, None, None]
+    cols = jnp.arange(w)[None, None, :] < hw[:, 1][:, None, None]
+    return (rows & cols)[..., None]
+
+
 def vgg16_apply(
     params,
     images: jnp.ndarray,
     *,
     compute_dtype=jnp.float32,
     cut_at_pooling: bool = False,
+    valid_hw=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Forward pass.
 
     Args:
       params: pytree from ``init_vgg16_params`` or the torch converter.
       images: (N, H, W, 3) preprocessed pixels (mean-subtracted, ~[-128,128]).
+      valid_hw: optional (N, 2) int32 per-image valid (h, w) extents — images
+        are zero-padded beyond them to a common static shape. Activations in
+        the padded region are re-zeroed after every conv (the conv bias makes
+        them non-zero otherwise), which makes every valid-region activation
+        bit-identical to an unpadded run of that image: the zeros a conv sees
+        beyond the valid extent are indistinguishable from the zeros SAME
+        padding would supply at a true image boundary. One compiled program
+        thus serves all aspect ratios exactly (Tokyo 24/7 queries; the
+        reference instead runs batch-1 per shape, examples/test.py:44-46).
 
     Returns:
       (pool_x, feature_map): global max-pool vector (N, 512) and conv5_3 map
@@ -100,6 +117,12 @@ def vgg16_apply(
             PIXEL_MEAN, compute_dtype
         )
     x = images.astype(compute_dtype)
+    hw = None if valid_hw is None else jnp.asarray(valid_hw, jnp.int32)
+    if hw is not None:
+        # zero out any padding garbage up front (loader pads with zeros, but
+        # the mean subtraction above would have shifted uint8-path padding)
+        x = jnp.where(_extent_mask(hw, x.shape[1], x.shape[2]), x, 0)
+    mask = None
     for name, _, _, relu, pool in VGG16_LAYERS:
         p = params[name]
         x = lax.conv_general_dilated(
@@ -112,15 +135,34 @@ def vgg16_apply(
         x = x + p["b"].astype(compute_dtype)
         if relu:
             x = jnp.maximum(x, 0)
+        if hw is not None:
+            if mask is None:
+                mask = _extent_mask(hw, x.shape[1], x.shape[2])
+            x = jnp.where(mask, x, 0)
         if pool:
             x = lax.reduce_window(
                 x, -jnp.inf, lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
             )
+            if hw is not None:
+                # VALID pooling floors the extent, exactly like torch's
+                # MaxPool2d(2, 2) drops a trailing odd row/column. Re-zero
+                # immediately: a window straddling the old extent leaves
+                # non-zero values just outside the new one, and the next
+                # conv's receptive field would pull them into valid outputs.
+                hw = hw // 2
+                mask = _extent_mask(hw, x.shape[1], x.shape[2])
+                x = jnp.where(mask, x, 0)
     # keep the map in compute dtype: every consumer (NetVLAD XLA path, the
     # fused kernel, postprocess) upcasts to f32 itself, and an eager cast
     # here would round-trip an extra 314MB of HBM at bs=128 bf16
     if cut_at_pooling:
         return x
+    if hw is not None:
+        mask = _extent_mask(hw, x.shape[1], x.shape[2])
+        pool_x = jnp.max(
+            jnp.where(mask, x, -jnp.inf), axis=(1, 2)
+        ).astype(jnp.float32)
+        return pool_x, x
     pool_x = jnp.max(x, axis=(1, 2)).astype(jnp.float32)
     return pool_x, x
 
@@ -160,6 +202,16 @@ class VGG16:
             images,
             compute_dtype=self.compute_dtype,
             cut_at_pooling=self.cut_at_pooling,
+        )
+
+    def apply_masked(self, params, images, valid_hw):
+        """Forward on bucket-padded images with per-image valid extents."""
+        return vgg16_apply(
+            params,
+            images,
+            compute_dtype=self.compute_dtype,
+            cut_at_pooling=self.cut_at_pooling,
+            valid_hw=valid_hw,
         )
 
     def trainable_mask(self, params):

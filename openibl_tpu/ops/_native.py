@@ -62,6 +62,17 @@ def _load():
             ctypes.POINTER(ctypes.c_float),  # out vals (cap)
             ctypes.c_int64,  # cap
         ]
+        lib.expansion_sets.restype = ctypes.c_int64
+        lib.expansion_sets.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),  # initial_rank (n*rank_cols)
+            ctypes.c_int64,  # n
+            ctypes.c_int64,  # rank_cols
+            ctypes.c_int32,  # k1
+            ctypes.c_int32,  # half
+            ctypes.POINTER(ctypes.c_int32),  # out rows (cap)
+            ctypes.POINTER(ctypes.c_int32),  # out cols (cap)
+            ctypes.c_int64,  # cap
+        ]
         _LIB = lib
     except OSError:
         _LIB = None
@@ -101,6 +112,31 @@ def expansion_weights(original, initial_rank, k1):
     if count < 0:
         raise RuntimeError("native expansion_weights overflow")
     return rows[:count], cols[:count], vals[:count]
+
+
+def expansion_sets(initial_rank, k1):
+    """C++ path for the k-reciprocal expansion index alone (no distance
+    values — the streaming rerank computes weights from features).
+    Returns (rows, cols), row-major sorted."""
+    lib = _load()
+    n = initial_rank.shape[0]
+    rank_cols = initial_rank.shape[1]
+    assert rank_cols >= k1 + 1, "partial ranking too shallow for k1"
+    initial_rank = np.ascontiguousarray(initial_rank, np.int32)
+    half = int(np.around(k1 / 2.0))
+    cap = n * (k1 + 1) * (half + 2)
+    rows = np.empty(cap, np.int32)
+    cols = np.empty(cap, np.int32)
+    count = lib.expansion_sets(
+        initial_rank.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n, rank_cols, k1, half,
+        rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        cap,
+    )
+    if count < 0:
+        raise RuntimeError("native expansion_sets overflow")
+    return rows[:count], cols[:count]
 
 
 if __name__ == "__main__":

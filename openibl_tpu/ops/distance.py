@@ -49,14 +49,19 @@ def _merge_topk(dist_a, idx_a, dist_b, idx_b, k):
 _FULL_DISTMAT_BUDGET_BYTES = 512 * 1024**2
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk", "full_path"))
-def topk_nearest(query, gallery, k, chunk=4096, full_path=None):
+@functools.partial(
+    jax.jit, static_argnames=("k", "chunk", "full_path", "return_rowmax")
+)
+def topk_nearest(query, gallery, k, chunk=4096, full_path=None,
+                 return_rowmax=False):
     """k nearest gallery rows per query row by squared L2.
 
     Small problems (``full_path=None`` auto-selects by distmat size)
     materialize the full distance matrix and run one top-k; large ones scan
     the gallery in ``chunk``-sized tiles merging a running top-k —
-    HBM-resident gallery, O(Q*k) state. Returns (dists (Q,k), indices (Q,k)).
+    HBM-resident gallery, O(Q*k) state. Returns (dists (Q,k), indices (Q,k));
+    with ``return_rowmax`` additionally the per-query max distance over the
+    WHOLE gallery (needed by the streaming rerank's row normalization).
     """
     q = jnp.asarray(query, jnp.float32)
     g = jnp.asarray(gallery, jnp.float32)
@@ -68,6 +73,8 @@ def topk_nearest(query, gallery, k, chunk=4096, full_path=None):
     if full_path:
         d = pairwise_sqdist(q, g)
         neg_d, idx = jax.lax.top_k(-d, k)
+        if return_rowmax:
+            return -neg_d, idx, jnp.max(d, axis=1)
         return -neg_d, idx
     n_chunks = -(-n // chunk)
     pad = n_chunks * chunk - n
@@ -77,9 +84,10 @@ def topk_nearest(query, gallery, k, chunk=4096, full_path=None):
 
     init_d = jnp.full((q.shape[0], k), jnp.inf, jnp.float32)
     init_i = jnp.full((q.shape[0], k), -1, jnp.int32)
+    init_m = jnp.full((q.shape[0],), -jnp.inf, jnp.float32)
 
     def body(carry, inp):
-        best_d, best_i = carry
+        best_d, best_i, best_m = carry
         tile, tile_start = inp
         t2 = jnp.sum(jnp.square(tile), axis=1)[None, :]
         d = q2 + t2 - 2.0 * jnp.dot(
@@ -88,15 +96,23 @@ def topk_nearest(query, gallery, k, chunk=4096, full_path=None):
         )
         col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1) + tile_start
         valid = col < n
+        if return_rowmax:
+            best_m = jnp.maximum(
+                best_m, jnp.max(jnp.where(valid, d, -jnp.inf), axis=1)
+            )
         d = jnp.where(valid, d, jnp.inf)
         kk = min(k, chunk)
         neg_d, pos = jax.lax.top_k(-d, kk)
         tile_idx = jnp.take_along_axis(col, pos, axis=1)
         best_d, best_i = _merge_topk(best_d, best_i, -neg_d, tile_idx, k)
-        return (best_d, best_i), None
+        return (best_d, best_i, best_m), None
 
     starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
-    (best_d, best_i), _ = jax.lax.scan(body, (init_d, init_i), (g_tiles, starts))
+    (best_d, best_i, best_m), _ = jax.lax.scan(
+        body, (init_d, init_i, init_m), (g_tiles, starts)
+    )
+    if return_rowmax:
+        return best_d, best_i, best_m
     return best_d, best_i
 
 
@@ -170,7 +186,7 @@ def topk_nearest_sharded(query, gallery, mesh, k, axis="data", chunk=4096):
     Returns:
       (dists (Q, k), global indices (Q, k)), fully replicated.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     n_dev = mesh.shape[axis]
@@ -200,7 +216,7 @@ def topk_nearest_sharded(query, gallery, mesh, k, axis="data", chunk=4096):
         mesh=mesh,
         in_specs=(P(), P(axis, None)),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn)(jnp.asarray(query, jnp.float32),
                        jnp.asarray(gallery, jnp.float32))

@@ -18,6 +18,8 @@ optional C++ kernel (native/rerank.cpp, loaded via ctypes) accelerates the
 neighbor-expansion loop of step 2.
 """
 
+import functools
+
 import numpy as np
 
 try:
@@ -133,6 +135,244 @@ def re_ranking(q_g_dist, q_q_dist, g_g_dist, k1=20, k2=6, lambda_value=0.3,
     original_q = original[:query_num]
     final = jaccard * (1 - lambda_value) + original_q * lambda_value
     return final[:, query_num:]
+
+
+def build_v_sparse(u_feats, k1, pair_chunk=1 << 16, depth=None):
+    """k-reciprocal V rows directly from descriptors — no N x N matrix.
+
+    The factored core of re_ranking steps 1-3: device streaming top-k (+ row
+    max) over the union, expansion sets from the partial ranking (C++ or
+    numpy), and exp(-d)-normalized weights recomputed sparsely from features.
+
+    Returns (rows, cols, vals, initial_rank, rm2): the sparse V triplet
+    (row-major), the (N, depth) ranking, and the squared row maxima that
+    normalize distances (reference rerank.py:45-47 + symmetry).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from openibl_tpu.ops.distance import topk_nearest
+
+    u = np.asarray(u_feats, np.float32)
+    n = len(u)
+    u_dev = jnp.asarray(u)
+    depth = min(depth or (k1 + 1), n)
+    _, initial_rank, rowmax = topk_nearest(
+        u_dev, u_dev, k=depth, return_rowmax=True
+    )
+    initial_rank = np.asarray(initial_rank, np.int32)
+    rm2 = np.maximum(np.square(np.asarray(rowmax, np.float32)), 1e-12)
+
+    if _native.available():
+        rows, cols = _native.expansion_sets(initial_rank, k1)
+    else:
+        expansion = _expansion_index(initial_rank, k1)
+        rows = np.concatenate(
+            [np.full(len(e), i, np.int32) for i, e in enumerate(expansion)]
+        )
+        cols = np.concatenate(expansion).astype(np.int32)
+
+    # sparse pair distances from features, chunked gather+dot on device
+    @jax.jit
+    def _pair_d2(r_idx, c_idx):
+        a = jnp.take(u_dev, r_idx, axis=0)
+        b = jnp.take(u_dev, c_idx, axis=0)
+        return (
+            jnp.sum(jnp.square(a), axis=1)
+            + jnp.sum(jnp.square(b), axis=1)
+            - 2.0 * jnp.sum(a * b, axis=1)
+        )
+
+    d2_pairs = np.empty(len(rows), np.float32)
+    for s in range(0, len(rows), pair_chunk):
+        r = rows[s : s + pair_chunk]
+        c = cols[s : s + pair_chunk]
+        d2_pairs[s : s + len(r)] = np.asarray(
+            _pair_d2(jnp.asarray(r), jnp.asarray(c))
+        )
+    vals = np.exp(-np.maximum(d2_pairs, 0.0) ** 2 / rm2[rows])
+    # L1-normalize per row: rows are emitted row-major by both paths; every
+    # row is non-empty (an item is always its own k-reciprocal neighbor)
+    row_starts = np.searchsorted(rows, np.arange(n))
+    sums = np.add.reduceat(vals, row_starts)
+    vals = (vals / sums[rows]).astype(np.float32)
+    return rows, cols, vals, initial_rank, rm2
+
+
+def _pad_pow2(x, lo=8):
+    p = lo
+    while p < x:
+        p *= 2
+    return p
+
+
+# above this per-column occupancy the padded device kernel wastes more than
+# it gains; fall back to the host sparse loop
+_MAX_COL_OCCUPANCY = 4096
+
+
+def jaccard_for_queries(rows, cols, vals, n, query_rows, query_chunk=512):
+    """Jaccard distances (len(query_rows), n) from sparse V rows, on device.
+
+    The min/sum sparse intersection of re_ranking step 5 as fixed-shape jnp
+    ops (VERDICT r1 item 6): V rows and columns are padded to power-of-two
+    widths (bounding jit specializations) and each query chunk gathers its
+    columns' CSC slabs, takes elementwise minima against its own weights and
+    scatter-adds into the (chunk, n) accumulator. Replaces the pure-host
+    python-loop (the SFRS per-refresh bottleneck at Pitts30k scale).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    query_rows = np.asarray(query_rows, np.int64)
+    order = np.argsort(rows, kind="stable")  # row-major (already, but safe)
+    rows_s, cols_s, vals_s = rows[order], cols[order], vals[order]
+
+    # padded CSR restricted to the query rows
+    counts = np.bincount(rows_s, minlength=n)
+    m = _pad_pow2(int(counts[query_rows].max()) if len(query_rows) else 1)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    q_cols = np.full((len(query_rows), m), -1, np.int32)
+    q_vals = np.zeros((len(query_rows), m), np.float32)
+    for out_i, r in enumerate(query_rows):
+        s, e = starts[r], starts[r + 1]
+        q_cols[out_i, : e - s] = cols_s[s:e]
+        q_vals[out_i, : e - s] = vals_s[s:e]
+
+    # padded CSC over all columns
+    corder = np.argsort(cols_s, kind="stable")
+    c_rows, c_vals_sorted = rows_s[corder], vals_s[corder]
+    ccounts = np.bincount(cols_s, minlength=n)
+    p = _pad_pow2(int(ccounts.max()))
+    if p > _MAX_COL_OCCUPANCY:
+        return _jaccard_for_queries_host(rows_s, cols_s, vals_s, n, query_rows)
+    cstarts = np.concatenate([[0], np.cumsum(ccounts)])
+    csc_rows = np.full((n, p), -1, np.int32)
+    csc_vals = np.zeros((n, p), np.float32)
+    # vectorized fill: position within column
+    pos = np.arange(len(cols_s)) - cstarts[cols_s[corder]]
+    csc_rows[cols_s[corder], pos] = c_rows
+    csc_vals[cols_s[corder], pos] = c_vals_sorted
+
+    csc_rows_d = jnp.asarray(csc_rows)
+    csc_vals_d = jnp.asarray(csc_vals)
+
+    @functools.partial(jax.jit, static_argnames=("n_items",))
+    def _chunk(qc, qv, n_items):
+        cols_safe = jnp.maximum(qc, 0)
+        rows_g = jnp.take(csc_rows_d, cols_safe, axis=0)  # (B, M, P)
+        vals_g = jnp.take(csc_vals_d, cols_safe, axis=0)
+        contrib = jnp.minimum(qv[:, :, None], vals_g)
+        valid = (qc[:, :, None] >= 0) & (rows_g >= 0)
+        contrib = jnp.where(valid, contrib, 0.0)
+        rows_safe = jnp.where(valid, rows_g, 0)
+        b = qc.shape[0]
+        b_idx = jnp.broadcast_to(
+            jnp.arange(b)[:, None, None], rows_safe.shape
+        )
+        t = jnp.zeros((b, n_items), jnp.float32).at[b_idx, rows_safe].add(
+            contrib
+        )
+        return 1.0 - t / (2.0 - t)
+
+    out = np.empty((len(query_rows), n), np.float32)
+    for s in range(0, len(query_rows), query_chunk):
+        e = min(s + query_chunk, len(query_rows))
+        pad = query_chunk - (e - s)
+        qc = q_cols[s:e]
+        qv = q_vals[s:e]
+        if pad:
+            qc = np.concatenate([qc, np.full((pad, m), -1, np.int32)])
+            qv = np.concatenate([qv, np.zeros((pad, m), np.float32)])
+        out[s:e] = np.asarray(_chunk(jnp.asarray(qc), jnp.asarray(qv), n))[
+            : e - s
+        ]
+    return out
+
+
+def _jaccard_for_queries_host(rows, cols, vals, n, query_rows):
+    """scipy fallback for degenerate column occupancy."""
+    v_csr = sp.csr_matrix((vals, (rows, cols)), shape=(n, n), dtype=np.float32)
+    v_csc = v_csr.T.tocsr()
+    out = np.empty((len(query_rows), n), np.float32)
+    for out_i, i in enumerate(query_rows):
+        row = v_csr.getrow(i)
+        temp_min = np.zeros(n, np.float32)
+        for j, vij in zip(row.indices, row.data):
+            colj = v_csc.getrow(j)
+            temp_min[colj.indices] += np.minimum(vij, colj.data)
+        out[out_i] = 1.0 - temp_min / (2.0 - temp_min)
+    return out
+
+
+def rerank_ranks_streaming(q_feats, g_feats, k1=25, k2=1, lambda_value=0.0,
+                           k_out=None, pair_chunk=1 << 16, query_chunk=1024):
+    """k-reciprocal re-ranking at gallery scales where no N x N matrix fits.
+
+    Same math as :func:`re_ranking` (verified equal in tests), but computed
+    from the descriptors directly:
+
+      * initial ranking + per-row max via the device streaming top-k
+        (ops.distance.topk_nearest) over the q∪g union — never materializing
+        the union distance matrix (~33 GB f32 at Pitts250k);
+      * expansion-set distances recomputed sparsely from features (the V
+        matrix has only ~k1·1.5 nonzeros per row);
+      * Jaccard + final distance evaluated per query, keeping just the best
+        ``k_out`` gallery entries.
+
+    Ties (queries sharing zero V-overlap with a gallery item get identical
+    Jaccard distance 1.0) may order differently than re_ranking's argsort;
+    with lambda_value > 0 the original distances break ties identically.
+
+    Returns (indices (Q, k_out) int64 into the gallery, final dists (Q, k_out)).
+    """
+    import jax.numpy as jnp
+
+    q = np.asarray(q_feats, np.float32)
+    g = np.asarray(g_feats, np.float32)
+    n_q, n = len(q), len(q) + len(g)
+    if k_out is None:
+        k_out = min(len(g), 10 * 12)
+    k_out = min(k_out, len(g))
+    u = np.concatenate([q, g])
+
+    from openibl_tpu.ops.distance import pairwise_sqdist
+
+    rows, cols, vals, initial_rank, rm2 = build_v_sparse(
+        u, k1, pair_chunk=pair_chunk, depth=max(k1 + 1, k2)
+    )
+
+    if k2 != 1:
+        v_mat = sp.csr_matrix((vals, (rows, cols)), shape=(n, n),
+                              dtype=np.float32)
+        v_new = sp.lil_matrix((n, n), dtype=np.float32)
+        for i in range(n):
+            v_new[i] = v_mat[initial_rank[i, :k2]].mean(axis=0)
+        v_csr = v_new.tocsr().sorted_indices()
+        coo = v_csr.tocoo()
+        rows, cols, vals = (coo.row.astype(np.int32),
+                            coo.col.astype(np.int32),
+                            coo.data.astype(np.float32))
+
+    out_idx = np.empty((n_q, k_out), np.int64)
+    out_dist = np.empty((n_q, k_out), np.float32)
+    for s in range(0, n_q, query_chunk):
+        e = min(s + query_chunk, n_q)
+        final = jaccard_for_queries(rows, cols, vals, n, np.arange(s, e))
+        if lambda_value != 0:
+            d2_chunk = np.asarray(
+                pairwise_sqdist(jnp.asarray(q[s:e]), jnp.asarray(u)),
+                np.float32,
+            )
+            orig_chunk = np.square(np.maximum(d2_chunk, 0.0)) / rm2[s:e, None]
+            final = final * (1 - lambda_value) + orig_chunk * lambda_value
+        final_g = final[:, n_q:]
+        part = np.argpartition(final_g, k_out - 1, axis=1)[:, :k_out]
+        pvals = np.take_along_axis(final_g, part, axis=1)
+        order = np.argsort(pvals, axis=1, kind="stable")
+        out_idx[s:e] = np.take_along_axis(part, order, axis=1)
+        out_dist[s:e] = np.take_along_axis(pvals, order, axis=1)
+    return out_idx, out_dist
 
 
 def _jaccard_from_v(v_mat, n, query_num):

@@ -17,20 +17,21 @@ from openibl_tpu.utils import l2_normalize
 
 
 def make_extract_fn(apply_fn, mesh=None, pca_proj=None, pca_bias=None,
-                    l2norm=True, feature="vlad"):
-    """Build a jitted (params, images) -> descriptors function.
+                    l2norm=True, feature="vlad", masked=False):
+    """Build a jitted (params, images[, valid_hw]) -> descriptors function.
 
     ``apply_fn`` returns either descriptors or a (pool, desc) tuple (the
     EmbedNet convention); ``feature`` selects "vlad" (desc) or "pool" — the
     reference's --vlad flag (extract_cnn_feature, evaluators.py:22-34).
     Output is L2-normalized and optionally PCA-projected on device
-    (evaluators.py:56-57).
+    (evaluators.py:56-57). With ``masked`` the apply_fn takes (params,
+    images, valid_hw) — the bucket-padded variable-shape path.
     """
     if feature not in ("vlad", "pool"):
         raise ValueError(f"feature must be 'vlad' or 'pool', got {feature!r}")
 
-    def fwd(params, images):
-        out = apply_fn(params, images)
+    def fwd(params, images, *extra):
+        out = apply_fn(params, images, *extra)
         if isinstance(out, tuple):
             out = out[0] if feature == "pool" else out[1]
         if l2norm:
@@ -43,21 +44,27 @@ def make_extract_fn(apply_fn, mesh=None, pca_proj=None, pca_bias=None,
 
     if mesh is None:
         return jax.jit(fwd)
+    data_in = (data_sharding(mesh, 4),) + (
+        (data_sharding(mesh, 2),) if masked else ()
+    )
     return jax.jit(
         fwd,
-        in_shardings=(replicated(mesh), data_sharding(mesh, 4)),
+        in_shardings=(replicated(mesh),) + data_in,
         out_shardings=replicated(mesh),
     )
 
 
 def extract_features(apply_fn, params, loader, mesh=None, pca=None,
-                     feature="vlad", verbose=False, sort=True):
+                     feature="vlad", verbose=False, sort=True,
+                     masked_apply_fn=None):
     """Extract descriptors for every item the loader yields.
 
     loader yields (images (B, H, W, 3), indices, count) — BatchLoader
-    contract. Returns (N, D) numpy array ordered by ascending loader index
-    (``sort=True``) or in emission order (``sort=False``, used for
-    positional multi-host reassembly).
+    contract — or (images, valid_hw, indices, count) — PaddedBatchLoader
+    contract, routed through ``masked_apply_fn`` (e.g.
+    EmbedNet.apply_masked). Returns (N, D) numpy array ordered by ascending
+    loader index (``sort=True``) or in emission order (``sort=False``, used
+    for positional multi-host reassembly).
     """
     pca_proj = pca_bias = None
     if pca is not None:
@@ -66,6 +73,11 @@ def extract_features(apply_fn, params, loader, mesh=None, pca=None,
         pca_proj, pca_bias = pca._proj, pca._bias
     fn = make_extract_fn(apply_fn, mesh=mesh, pca_proj=pca_proj,
                          pca_bias=pca_bias, feature=feature)
+    fn_masked = None
+    if masked_apply_fn is not None:
+        fn_masked = make_extract_fn(masked_apply_fn, mesh=mesh,
+                                    pca_proj=pca_proj, pca_bias=pca_bias,
+                                    feature=feature, masked=True)
     n_dev = mesh.size if mesh is not None else 1
 
     # keep a couple of batches in flight: JAX's async dispatch then overlaps
@@ -80,12 +92,30 @@ def extract_features(apply_fn, params, loader, mesh=None, pca=None,
             one = False
 
     chunks, orders = [], []
-    for i, (images, idx, count) in enumerate(loader):
+    for i, batch in enumerate(loader):
+        if len(batch) == 4:
+            if fn_masked is None:
+                raise ValueError(
+                    "loader yields (images, valid_hw, idx, count) batches "
+                    "but no masked_apply_fn was provided"
+                )
+            images, valid_hw, idx, count = batch
+        else:
+            images, idx, count = batch
+            valid_hw = None
         # data-sharded dim 0 must divide the mesh: pad by repetition
         pad = (-len(images)) % n_dev
         if pad:
             images = np.concatenate([images, np.repeat(images[-1:], pad, 0)])
-        in_flight.append((fn(params, jnp.asarray(images)), count))
+            if valid_hw is not None:
+                valid_hw = np.concatenate(
+                    [valid_hw, np.repeat(valid_hw[-1:], pad, 0)]
+                )
+        if valid_hw is None:
+            out = fn(params, jnp.asarray(images))
+        else:
+            out = fn_masked(params, jnp.asarray(images), jnp.asarray(valid_hw))
+        in_flight.append((out, count))
         orders.append(np.asarray(idx)[:count])
         drain()
         if verbose and (i + 1) % 10 == 0:
