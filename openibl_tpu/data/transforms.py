@@ -88,6 +88,14 @@ class TrainTransform:
         self.rng = random.Random(seed)
         self.device_normalize = device_normalize
 
+    def reseed(self, *key):
+        """Deterministically re-seed the jitter stream, e.g. per
+        (seed, generation, epoch, subset) — makes training runs reproducible
+        and checkpoint resumes bit-faithful (the reference's global-torch-seed
+        jitter has neither property across resumes)."""
+        # str seeds hash via sha512 — stable across processes
+        self.rng = random.Random("/".join(map(str, key)))
+
     def __call__(self, img: Image.Image) -> np.ndarray:
         if self.jitter:
             img = color_jitter(img, self.rng)

@@ -152,9 +152,11 @@ def eval_view(model):
 
 
 def make_sources(cfg, dataset):
-    # uint8 images, mean subtraction on device: 4x less H2D traffic
+    # uint8 images, mean subtraction on device: 4x less H2D traffic.
+    # The jitter stream is seeded (and re-seeded per subset in the training
+    # loops) so runs are reproducible and resumes bit-faithful.
     train_tf = TrainTransform(cfg.data.height, cfg.data.width,
-                              device_normalize=True)
+                              device_normalize=True, seed=cfg.seed)
     test_tf = TestTransform(cfg.data.height, cfg.data.width,
                             device_normalize=True)
     train_items = dataset.q_train + dataset.db_train
@@ -242,6 +244,7 @@ def run_baseline_training(cfg, mesh=None, verbose=True):
                     mesh=mesh, feature=feature,
                 )
             tuples = sampler.refresh(q_feats, g_feats, subset)
+            sources["tuple"].transform.reseed(cfg.seed, epoch, subid)
             loader = TupleLoader(sources["tuple"], tuples, cfg.tuple_size)
             params, opt_state, avg_loss = trainer.train_epoch(
                 params, opt_state, loader, print_freq=cfg.print_freq,
@@ -335,6 +338,11 @@ def run_sfrs_training(cfg, mesh=None, verbose=True):
     teacher = jax.tree.map(jnp.array, params)  # real copy (params get donated)
     evaluator = Evaluator(emodel.apply, mesh=mesh)
 
+    if len(cfg.temperature) < cfg.generations:
+        raise ValueError(
+            f"SFRS needs one teacher temperature per generation: got "
+            f"{len(cfg.temperature)} temps for {cfg.generations} generations"
+        )
     trainer = SFRSTrainer(
         model, loss_type=cfg.loss_type, margin=cfg.margin,
         temps=cfg.temperature, soft_weight=cfg.soft_weight,
@@ -440,6 +448,7 @@ def run_sfrs_training(cfg, mesh=None, verbose=True):
                     )
                 tuples = sampler.refresh(q_feats, g_feats, subset,
                                          jaccard_rows=jaccard_rows)
+                sources["tuple"].transform.reseed(cfg.seed, gen, epoch, subid)
                 loader = TupleLoader(sources["tuple"], tuples, cfg.tuple_size)
                 params, opt_state, (lh, ls) = trainer.train_epoch(
                     params, teacher, opt_state, loader, gen,

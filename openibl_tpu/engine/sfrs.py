@@ -122,6 +122,12 @@ class SFRSTrainer:
     def step_fn(self, gen):
         """Per-generation jitted step (gen0 disables the soft loss,
         netvlad_img_sfrs.py:212)."""
+        if not 0 <= gen < len(self.temps):
+            raise ValueError(
+                f"generation {gen} has no teacher temperature: temps has "
+                f"{len(self.temps)} entries — pass one per generation "
+                f"(reference default {DEFAULT_TEMPS})"
+            )
         lam = self.soft_weight if gen > 0 else 0.0
         key = (gen, lam)
         if key not in self._steps:

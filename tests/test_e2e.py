@@ -145,6 +145,50 @@ class TestSFRSResume:
         params, recalls = pipeline.run_sfrs_training(cfg2, verbose=False)
         assert len(recalls) == 3
 
+    def test_resume_equals_uninterrupted(self, tmp_path):
+        """Property (VERDICT r1 item 10): resuming from a generation-boundary
+        checkpoint reproduces the uninterrupted run's final params exactly —
+        the checkpoint must capture ALL training state (params, teacher,
+        optimizer, mining cache) and the sampler streams must re-derive
+        deterministically from (seed, epoch)."""
+        data = DataConfig(
+            dataset="synthetic", scale=None,
+            data_dir=str(tmp_path / "data"),
+            height=64, width=64, test_batch_size=8,
+        )
+        mk = lambda name, **kw: _cfg(
+            tmp_path, cls=SFRSConfig, data=data, generations=2, epochs=1,
+            pos_num=2, pos_pool=3, temperature=(0.07, 0.05),
+            logs_dir=str(tmp_path / name), **kw,
+        )
+        pipeline.run_sfrs_training(mk("full"), verbose=False)
+        ckpt = osp.join(str(tmp_path / "full"), "checkpoint0_0.npz")
+        pipeline.run_sfrs_training(mk("resumed", resume=ckpt), verbose=False)
+        # compare the end-of-gen-1 training state (the returned params go
+        # through best-model selection, which legitimately differs when all
+        # recalls tie at 100% on synthetic data)
+        full = np.load(osp.join(str(tmp_path / "full"), "checkpoint1_0.npz"))
+        res = np.load(osp.join(str(tmp_path / "resumed"), "checkpoint1_0.npz"))
+        keys = [k for k in full.files if k.startswith("leaf:params/")]
+        assert keys and sorted(keys) == sorted(
+            k for k in res.files if k.startswith("leaf:params/")
+        )
+        for k in keys:
+            np.testing.assert_allclose(full[k], res[k], rtol=0, atol=1e-6,
+                                       err_msg=k)
+
+    def test_too_few_temperatures_fails_fast(self, tmp_path):
+        cfg = _cfg(tmp_path, cls=SFRSConfig, generations=3, epochs=1,
+                   pos_num=2, pos_pool=3, temperature=(0.07, 0.05))
+        with pytest.raises(ValueError, match="temperature"):
+            pipeline.run_sfrs_training(cfg, verbose=False)
+
+
+def _flatten(tree):
+    import jax
+
+    return jax.tree.flatten(tree)
+
 
 class TestEvalRerankNMS:
     def test_run_eval_rerank_and_nms(self, tmp_path):
