@@ -14,7 +14,7 @@ sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), ".."))
 import numpy as np
 
 from openibl_tpu import data as datasets
-from openibl_tpu.data.loader import ImageSource, BatchLoader
+from openibl_tpu.data.loader import ImageSource, BatchLoader, PaddedBatchLoader
 from openibl_tpu.data.transforms import TestTransform
 from openibl_tpu.engine.evaluator import Evaluator
 from openibl_tpu.hub import vgg16_netvlad
@@ -32,10 +32,18 @@ def run(dataset_name, weights, data_dir, scale=None, nms=False,
                         TestTransform(height, width, tokyo=tokyo))
     db_src = ImageSource(dataset.db_test, dataset.images_dir,
                          TestTransform(height, width))
-    evaluator = Evaluator(model.apply, mesh=None if tokyo else get_mesh(n_devices))
+    # Tokyo's variable-shape queries run bucket-padded + masked, so the full
+    # eval (queries included) shards over the mesh on both datasets
+    q_loader = (PaddedBatchLoader if tokyo else BatchLoader)(
+        q_src, batch_size=batch_size
+    )
+    evaluator = Evaluator(
+        model.apply, mesh=get_mesh(n_devices),
+        masked_apply_fn=model.apply_masked if tokyo else None,
+    )
     return evaluator.evaluate(
         params,
-        BatchLoader(q_src, batch_size=1 if tokyo else batch_size),
+        q_loader,
         BatchLoader(db_src, batch_size=batch_size),
         dataset.test_pos,
         gallery_pids=[it[1] for it in dataset.db_test],

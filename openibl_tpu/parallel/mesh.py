@@ -24,14 +24,32 @@ def maybe_init_distributed():
     Replaces the reference's init_dist / init_dist_slurm NCCL rendezvous
     (dist_utils.py:21-42); JAX picks up coordinator/process env vars or Slurm
     automatically via its cluster-detection plugins.
+
+    A half-configured multi-process environment fails LOUDLY (like the
+    reference's init_dist raising on an unknown launcher, dist_utils.py:19):
+    silently degrading to single-process would train on a fraction of the
+    data while appearing healthy.
     """
     if jax.process_count() > 1:
         return  # already initialized
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get("SLURM_NTASKS"):
-        try:
-            jax.distributed.initialize()
-        except Exception:
-            pass
+    multiproc_env = [
+        k for k in
+        ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS", "SLURM_NTASKS")
+        if os.environ.get(k)
+    ]
+    if not multiproc_env:
+        return
+    if os.environ.get("SLURM_NTASKS") == "1" and len(multiproc_env) == 1:
+        return  # a 1-task slurm allocation is a single-process launch
+    try:
+        jax.distributed.initialize()
+    except Exception as e:
+        raise RuntimeError(
+            f"multi-process launch detected ({'/'.join(multiproc_env)} set) "
+            f"but jax.distributed.initialize() failed — refusing to degrade "
+            f"to single-process. Check coordinator address/port and that "
+            f"num_processes/process_id are consistent on every host."
+        ) from e
 
 
 def get_mesh(n_devices=None, devices=None, axis=DATA_AXIS):
