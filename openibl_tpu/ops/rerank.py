@@ -211,16 +211,36 @@ def _pad_pow2(x, lo=8):
 _MAX_COL_OCCUPANCY = 4096
 
 
-def jaccard_for_queries(rows, cols, vals, n, query_rows, query_chunk=512):
-    """Jaccard distances (len(query_rows), n) from sparse V rows, on device.
+def jaccard_for_queries(rows, cols, vals, n, query_rows, query_chunk=512,
+                        prefer="auto"):
+    """Jaccard distances (len(query_rows), n) from sparse V rows.
 
-    The min/sum sparse intersection of re_ranking step 5 as fixed-shape jnp
-    ops (VERDICT r1 item 6): V rows and columns are padded to power-of-two
-    widths (bounding jit specializations) and each query chunk gathers its
-    columns' CSC slabs, takes elementwise minima against its own weights and
-    scatter-adds into the (chunk, n) accumulator. Replaces the pure-host
-    python-loop (the SFRS per-refresh bottleneck at Pitts30k scale).
+    The min/sum sparse intersection of re_ranking step 5, with two engines:
+
+    * **host** (scipy CSR loop): the V matrix has only ~1.5·k1 nonzeros per
+      row, so per query the intersection touches a few thousand elements —
+      microseconds of vector work. This wins whenever the query count is
+      moderate (SFRS refreshes rerank ~1k anchors: measured 0.6 s for 512
+      queries at n=8k, vs 8.9 s for the device path whose fixed costs —
+      padded-table build, jit compile, per-chunk dispatch through the TPU
+      tunnel — dominate the tiny sparse FLOP count).
+    * **device** (fixed-shape jnp scatter-add over power-of-two-padded
+      CSR/CSC slabs): amortizes its fixed costs only at large query counts
+      (full-eval rerank sweeps), or when scipy is unavailable.
+
+    ``prefer`` = "auto" | "host" | "device". Auto routes by estimated host
+    work (queries x avg row nnz x avg col-slab length).
     """
+    if prefer not in ("auto", "host", "device"):
+        raise ValueError(f"prefer={prefer!r}")
+    if sp is not None and prefer != "device":
+        nnz = len(vals)
+        avg_row = nnz / max(n, 1)
+        est_host_vec_ops = len(query_rows) * avg_row * avg_row
+        if prefer == "host" or est_host_vec_ops < 5e8:
+            return _jaccard_for_queries_host(
+                rows, cols, vals, n, np.asarray(query_rows, np.int64)
+            )
     import jax
     import jax.numpy as jnp
 

@@ -1,0 +1,90 @@
+"""Run the full bench suite on the real chip and persist a committed artifact.
+
+VERDICT r1 item 7: the driver's BENCH_r{N}.json captures only the default
+extract metric; the query-p50 and train-tuples/s numbers (and the fused
+Pallas head's speedup over the XLA head) must be recorded reproducibly.
+
+Usage:  python scripts/bench_all.py --round 2   -> logs/bench_r02.json
+
+Each entry is the verbatim JSON line bench.py printed, tagged with the arg
+set and wall time. The fused-vs-XLA delta is computed from the two extract
+runs and recorded under "fused_speedup".
+"""
+
+import argparse
+import json
+import pathlib
+import subprocess
+import sys
+import time
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+
+SUITE = [
+    ("extract_fused", ["--metric", "extract"]),
+    ("extract_nofused", ["--metric", "extract", "--no-fused"]),
+    ("query", ["--metric", "query", "--iters", "30"]),
+    ("train", ["--metric", "train"]),
+]
+
+
+def run_one(extra, timeout=1200):
+    cmd = [sys.executable, str(ROOT / "bench.py")] + extra
+    t0 = time.time()
+    proc = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=timeout, cwd=ROOT
+    )
+    wall = round(time.time() - t0, 1)
+    line = None
+    for ln in proc.stdout.splitlines():
+        ln = ln.strip()
+        if ln.startswith("{"):
+            try:
+                line = json.loads(ln)
+            except json.JSONDecodeError:
+                continue
+    return {
+        "args": extra,
+        "rc": proc.returncode,
+        "wall_s": wall,
+        "result": line,
+        "stderr_tail": proc.stderr[-400:] if proc.returncode else "",
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--round", type=int, required=True)
+    ap.add_argument("--only", type=str, default="",
+                    help="comma-separated subset of suite names")
+    args = ap.parse_args()
+
+    only = set(filter(None, args.only.split(",")))
+    out = {"round": args.round, "ts": time.strftime("%Y-%m-%d %H:%M:%S"),
+           "entries": {}}
+    path = ROOT / "logs" / f"bench_r{args.round:02d}.json"
+    if path.exists():  # allow incremental --only reruns
+        out = json.loads(path.read_text())
+        out["ts"] = time.strftime("%Y-%m-%d %H:%M:%S")
+
+    for name, extra in SUITE:
+        if only and name not in only:
+            continue
+        print(f"[bench_all] {name}: bench.py {' '.join(extra)}",
+              file=sys.stderr)
+        out["entries"][name] = run_one(extra)
+        print(f"[bench_all]   -> {out['entries'][name]['result']}",
+              file=sys.stderr)
+
+    ef = out["entries"].get("extract_fused", {}).get("result")
+    en = out["entries"].get("extract_nofused", {}).get("result")
+    if ef and en and en["value"]:
+        out["fused_speedup"] = round(ef["value"] / en["value"], 3)
+
+    path.parent.mkdir(exist_ok=True)
+    path.write_text(json.dumps(out, indent=2) + "\n")
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -88,6 +88,25 @@ class TestStreamingRerank:
             rtol=1e-4, atol=1e-5,
         )
 
+    def test_jaccard_engines_agree(self, rng):
+        """The device scatter-add engine and the host scipy loop compute the
+        same Jaccard distances; auto-routing must not change results."""
+        q, g = self._qg(rng)
+        union = np.concatenate([q, g])
+        rows, cols, vals, _, _ = rerank.build_v_sparse(union, k1=15)
+        n = len(union)
+        qrows = np.arange(8)
+        host = rerank.jaccard_for_queries(rows, cols, vals, n, qrows,
+                                          prefer="host")
+        dev = rerank.jaccard_for_queries(rows, cols, vals, n, qrows,
+                                         prefer="device")
+        auto = rerank.jaccard_for_queries(rows, cols, vals, n, qrows)
+        np.testing.assert_allclose(dev, host, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(auto, host, rtol=1e-5, atol=1e-6)
+        with pytest.raises(ValueError):
+            rerank.jaccard_for_queries(rows, cols, vals, n, qrows,
+                                       prefer="gpu")
+
     def test_native_sets_match_python(self, rng):
         q, g = self._qg(rng)
         union = np.concatenate([q, g])
