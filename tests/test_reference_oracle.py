@@ -47,10 +47,20 @@ pytestmark = pytest.mark.skipif(
 
 
 def load_ref(name):
-    """Import a reference module without executing the package __init__s
-    (which import torchvision / the full dependency graph)."""
+    """Import a reference module without executing the poisoned __init__s:
+    the ibl root (pulls the entire graph) and ibl.models (torchvision) are
+    replaced by namespace stubs; torchvision itself — absent from this
+    image — is stubbed as an empty module (reference code only touches its
+    attributes inside function bodies, e.g. ibl/utils/data/__init__.py:3
+    imports it at module scope but uses T.* lazily)."""
     if REF_ROOT not in sys.path:
         sys.path.insert(0, REF_ROOT)
+    for mod in ("torchvision", "torchvision.transforms"):
+        if mod not in sys.modules:
+            sys.modules[mod] = types.ModuleType(mod)
+    sys.modules["torchvision"].transforms = sys.modules[
+        "torchvision.transforms"
+    ]
     for pkg in ("ibl", "ibl.models"):
         if pkg not in sys.modules:
             stub = types.ModuleType(pkg)
@@ -393,3 +403,139 @@ class TestRerank:
         )
         our_out = our_rerank(q_g, q_q, g_g, k1=k1, k2=k2, lambda_value=lam)
         np.testing.assert_allclose(our_out, ref_out, rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# C11/C12: tuple-mining semantics vs the reference samplers.
+# With neg_pool >= the candidate count the reference's random.sample covers
+# every candidate, making its mining fully deterministic — so tuples can be
+# compared exactly (sampler.py:79-88 pool ∪ cache reduces to "all allowed").
+# ---------------------------------------------------------------------------
+
+def _mining_problem(rng, n_q=10, n_g=36, d=8):
+    q = rng.randn(n_q, d).astype(np.float32)
+    g = rng.randn(n_g, d).astype(np.float32)
+    pos_list, neg_list = [], []
+    for _ in range(n_q):
+        pos = rng.choice(n_g, size=rng.randint(3, 7), replace=False)
+        excl = np.unique(np.concatenate(
+            [pos, rng.choice(n_g, size=3, replace=False)]
+        ))
+        pos_list.append(list(map(int, pos)))
+        neg_list.append(list(map(int, excl)))
+    d2 = ((q[:, None] - g[None]) ** 2).sum(-1)
+    return q, g, pos_list, neg_list, d2
+
+
+class TestSamplerOracle:
+    def test_tuple_sampler_matches(self, rng):
+        ref_mod = load_ref("ibl.utils.data.sampler")
+        from openibl_tpu.data.sampler import TupleSampler
+
+        n_q, n_g, neg_num = 10, 36, 4
+        q, g, pos_list, neg_list, d2 = _mining_problem(rng, n_q, n_g)
+        sub = [7, 2, 5, 0, 9]
+
+        ref = ref_mod.DistributedRandomTupleSampler(
+            list(range(n_q)), list(range(n_g)), pos_list, neg_list,
+            neg_num=neg_num, neg_pool=n_g + 10, num_replicas=1, rank=0,
+        )
+        ref.sort_gallery(torch.from_numpy(np.sqrt(d2)), sub)
+        ref_tuples = {t[0]: t for t in ref}
+
+        ours = TupleSampler(n_q, n_g, pos_list, neg_list,
+                            neg_num=neg_num, neg_pool=n_g + 10)
+        our_tuples = {t[0]: t for t in ours.refresh(q[sub], g, sub)}
+
+        assert set(our_tuples) == set(ref_tuples) == set(sub)
+        for a in sub:
+            assert our_tuples[a] == ref_tuples[a], (
+                f"anchor {a}: ours {our_tuples[a]} ref {ref_tuples[a]}"
+            )
+
+    @pytest.mark.parametrize("use_jaccard", [False, True])
+    def test_diff_tuple_sampler_matches(self, rng, use_jaccard):
+        ref_mod = load_ref("ibl.utils.data.sampler")
+        from openibl_tpu.data.sampler import DiffTupleSampler
+
+        n_q, n_g, neg_num, pos_num, pos_pool = 10, 36, 4, 3, 5
+        q, g, pos_list, neg_list, d2 = _mining_problem(rng, n_q, n_g)
+        # every anchor needs >= pos_num positives for exact comparison
+        # (the reference asserts nothing; ours pads — pad path tested in
+        # test_data.py)
+        for p in pos_list:
+            while len(p) < pos_num + 1:
+                extra = int(rng.randint(n_g))
+                if extra not in p:
+                    p.append(extra)
+        neg_list = [sorted(set(n) | set(p)) for n, p in zip(neg_list, pos_list)]
+        sub = [1, 4, 8]
+        jac = rng.rand(n_q, n_g).astype(np.float32)
+
+        ref = ref_mod.DistributedRandomDiffTupleSampler(
+            list(range(n_q)), list(range(n_g)), pos_list, neg_list,
+            pos_num=pos_num, pos_pool=pos_pool,
+            neg_num=neg_num, neg_pool=n_g + 10, num_replicas=1, rank=0,
+        )
+        # gen 0 in the reference passes the euclidean distmat as the
+        # "jaccard" matrix (netvlad_img_sfrs.py:91-93)
+        ref_jac = torch.from_numpy(jac if use_jaccard else np.sqrt(d2))
+        ref.sort_gallery(torch.from_numpy(np.sqrt(d2)), ref_jac, sub)
+        ref_tuples = {t[0]: t for t in ref}
+
+        ours = DiffTupleSampler(n_q, n_g, pos_list, neg_list,
+                                pos_num=pos_num, pos_pool=pos_pool,
+                                neg_num=neg_num, neg_pool=n_g + 10)
+        our_tuples = {
+            t[0]: t
+            for t in ours.refresh(
+                q[sub], g, sub,
+                jaccard_rows=(jac if use_jaccard else np.sqrt(d2))[sub],
+            )
+        }
+
+        assert set(our_tuples) == set(ref_tuples) == set(sub)
+        for a in sub:
+            ref_t, our_t = ref_tuples[a], our_tuples[a]
+            # the reference's gap logic may select FEWER than pos_num
+            # difficult positives (sampler.py:163-178 keeps only gap<0/==0
+            # entries), yielding a variable-length tuple its own trainer
+            # cannot stack (trainers.py:230 torch.stack). Ours pads to the
+            # fixed pos_num with the nearest positive — the prefix must be
+            # the reference's exact selection, pads must be the top-1 pos.
+            assert our_t[: len(ref_t)] == ref_t, (
+                f"anchor {a}: ours {our_t} ref {ref_t}"
+            )
+            assert all(x == our_t[1] for x in our_t[len(ref_t):])
+
+
+# ---------------------------------------------------------------------------
+# C9: recall scan + spatial NMS vs the reference evaluate_all
+# (ibl/evaluators.py:132-167)
+# ---------------------------------------------------------------------------
+
+class TestEvaluateAllOracle:
+    @pytest.mark.parametrize("nms", [False, True])
+    def test_recalls_match(self, rng, nms, monkeypatch):
+        ref_ev = load_ref("ibl.evaluators")
+        monkeypatch.setattr(ref_ev.dist, "get_rank", lambda: 0)
+        from openibl_tpu.engine.evaluator import recalls_from_ranks
+
+        n_q, n_g = 40, 120
+        distmat = rng.rand(n_q, n_g).astype(np.float32)
+        # panorama ids with heavy duplication so NMS actually dedups
+        db_pids = [int(p) for p in rng.randint(0, 30, size=n_g)]
+        gallery = [(f"img{i}.jpg", pid, 0.0, 0.0)
+                   for i, pid in enumerate(db_pids)]
+        gt = [rng.choice(n_g, size=rng.randint(1, 5), replace=False)
+              for _ in range(n_q)]
+
+        ref_recalls = ref_ev.evaluate_all(
+            distmat.copy(), gt, gallery, recall_topk=[1, 5, 10], nms=nms
+        )
+        order = np.argsort(distmat, axis=1)
+        ours = recalls_from_ranks(
+            order, gt, gallery_pids=np.asarray(db_pids),
+            topk=(1, 5, 10), nms=nms,
+        )
+        np.testing.assert_allclose(ours, ref_recalls, atol=1e-12)
