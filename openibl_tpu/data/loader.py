@@ -202,8 +202,14 @@ class PaddedBatchLoader:
                     hws = np.concatenate([hws, np.repeat(hws[-1:], bs - count, 0)])
                 first = self.source.load(int(idx[0]))
                 imgs = np.zeros((bs, hb, wb, 3), first.dtype)
+                prev_i, prev_im = int(idx[0]), first
                 for j, i in enumerate(idx):
-                    im = first if j == 0 else self.source.load(int(i))
+                    i = int(i)
+                    if i != prev_i:
+                        # tail batches repeat the last index as padding —
+                        # don't re-decode the same image per pad slot
+                        prev_i, prev_im = i, self.source.load(i)
+                    im = prev_im
                     imgs[j, : im.shape[0], : im.shape[1]] = im
                 yield imgs, hws, idx, count
 

@@ -49,9 +49,12 @@ def recalls_from_ranks(sorted_idx, ground_truth, gallery_pids=None,
     return correct_at_n / len(sorted_idx)
 
 
-# above this size the union (q+g)^2 distance matrices the rerank path needs
-# stop fitting host RAM (Pitts250k union ~91k -> 33 GB f32); the streaming
-# rerank computes the same math from features without materializing them
+# host-RAM budget for the materializing rerank path. Its PEAK holds the
+# three input distance matrices (together one n^2 f32 block) plus
+# re_ranking's own (n, n) normalized copy and the (n_q, n) jaccard output
+# simultaneously — ~2x4n^2 bytes, not 4n^2 (Pitts250k union ~91k -> ~66 GB
+# peak); the streaming rerank computes the same math from features without
+# materializing any of them
 _RERANK_DISTMAT_BUDGET_BYTES = 2 * 1024**3
 
 
@@ -93,7 +96,7 @@ def evaluate_descriptors(q_feats, g_feats, ground_truth, gallery_pids=None,
     # the identical math from the descriptors (Pitts250k's g-g alone is
     # ~27 GB f32 — the reference simply cannot rerank at that scale)
     n_union = len(q_feats) + len(g_feats)
-    if 4 * n_union * n_union > _RERANK_DISTMAT_BUDGET_BYTES:
+    if 8 * n_union * n_union > _RERANK_DISTMAT_BUDGET_BYTES:
         from openibl_tpu.ops.rerank import rerank_ranks_streaming
 
         order, _ = rerank_ranks_streaming(
@@ -108,7 +111,12 @@ def evaluate_descriptors(q_feats, g_feats, ground_truth, gallery_pids=None,
         d_gg = np.asarray(pairwise_sqdist(g_feats, g_feats))
         final = re_ranking(d_qg, d_qq, d_gg, k1=rr_topk, k2=1,
                            lambda_value=lambda_value)
-        order = np.argsort(final, axis=1)[:, :k_need]
+        # same float64 original-distance tie-break as the streaming path,
+        # so results are identical on either side of the size threshold
+        key = final.astype(np.float64) + (
+            d_qg / (d_qg.max() + 1.0)
+        ).astype(np.float64) * 1e-12
+        order = np.argsort(key, axis=1)[:, :k_need]
     recalls = recalls_from_ranks(order, ground_truth, gallery_pids, topk, nms)
     if print_results:
         print("after re-ranking:")

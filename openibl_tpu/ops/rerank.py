@@ -211,9 +211,8 @@ def _pad_pow2(x, lo=8):
 _MAX_COL_OCCUPANCY = 4096
 
 
-def jaccard_for_queries(rows, cols, vals, n, query_rows, query_chunk=512,
-                        prefer="auto"):
-    """Jaccard distances (len(query_rows), n) from sparse V rows.
+class JaccardEngine:
+    """Jaccard distances from sparse V rows, with reusable structure.
 
     The min/sum sparse intersection of re_ranking step 5, with two engines:
 
@@ -228,101 +227,151 @@ def jaccard_for_queries(rows, cols, vals, n, query_rows, query_chunk=512,
       CSR/CSC slabs): amortizes its fixed costs only at large query counts
       (full-eval rerank sweeps), or when scipy is unavailable.
 
-    ``prefer`` = "auto" | "host" | "device". Auto routes by estimated host
-    work (queries x avg row nnz x avg col-slab length).
+    Each engine's layout (CSR/CSC matrices, padded slabs, the jitted chunk
+    fn) is built lazily ONCE and reused across query() calls, so chunked
+    sweeps (rerank_ranks_streaming) don't redo the O(nnz log nnz) setup per
+    chunk.
     """
-    if prefer not in ("auto", "host", "device"):
-        raise ValueError(f"prefer={prefer!r}")
-    if sp is not None and prefer != "device":
-        nnz = len(vals)
-        avg_row = nnz / max(n, 1)
-        est_host_vec_ops = len(query_rows) * avg_row * avg_row
-        if prefer == "host" or est_host_vec_ops < 5e8:
-            return _jaccard_for_queries_host(
-                rows, cols, vals, n, np.asarray(query_rows, np.int64)
+
+    def __init__(self, rows, cols, vals, n):
+        order = np.argsort(rows, kind="stable")  # row-major (already, but safe)
+        self.rows = rows[order]
+        self.cols = cols[order]
+        self.vals = vals[order]
+        self.n = n
+        self._host = None  # (v_csr, v_csc)
+        self._dev = None  # (csc_rows_d, csc_vals_d, chunk_fn) or "host" marker
+        self._row_starts = None
+
+    # -- host engine -------------------------------------------------------
+    def _host_structs(self):
+        if self._host is None:
+            v_csr = sp.csr_matrix(
+                (self.vals, (self.rows, self.cols)),
+                shape=(self.n, self.n), dtype=np.float32,
             )
-    import jax
-    import jax.numpy as jnp
+            self._host = (v_csr, v_csr.T.tocsr())
+        return self._host
 
-    query_rows = np.asarray(query_rows, np.int64)
-    order = np.argsort(rows, kind="stable")  # row-major (already, but safe)
-    rows_s, cols_s, vals_s = rows[order], cols[order], vals[order]
+    def _query_host(self, query_rows):
+        v_csr, v_csc = self._host_structs()
+        n = self.n
+        out = np.empty((len(query_rows), n), np.float32)
+        for out_i, i in enumerate(query_rows):
+            row = v_csr.getrow(i)
+            temp_min = np.zeros(n, np.float32)
+            for j, vij in zip(row.indices, row.data):
+                colj = v_csc.getrow(j)
+                temp_min[colj.indices] += np.minimum(vij, colj.data)
+            out[out_i] = 1.0 - temp_min / (2.0 - temp_min)
+        return out
 
-    # padded CSR restricted to the query rows
-    counts = np.bincount(rows_s, minlength=n)
-    m = _pad_pow2(int(counts[query_rows].max()) if len(query_rows) else 1)
-    starts = np.concatenate([[0], np.cumsum(counts)])
-    q_cols = np.full((len(query_rows), m), -1, np.int32)
-    q_vals = np.zeros((len(query_rows), m), np.float32)
-    for out_i, r in enumerate(query_rows):
-        s, e = starts[r], starts[r + 1]
-        q_cols[out_i, : e - s] = cols_s[s:e]
-        q_vals[out_i, : e - s] = vals_s[s:e]
+    # -- device engine -----------------------------------------------------
+    def _device_structs(self):
+        """Padded CSC slabs + the jitted scatter-add, built once. Returns
+        None when the column occupancy is degenerate (hub items would blow
+        the padded tables past any gain) and scipy can take over."""
+        if self._dev is None:
+            import jax
+            import jax.numpy as jnp
 
-    # padded CSC over all columns
-    corder = np.argsort(cols_s, kind="stable")
-    c_rows, c_vals_sorted = rows_s[corder], vals_s[corder]
-    ccounts = np.bincount(cols_s, minlength=n)
-    p = _pad_pow2(int(ccounts.max()))
-    if p > _MAX_COL_OCCUPANCY:
-        return _jaccard_for_queries_host(rows_s, cols_s, vals_s, n, query_rows)
-    cstarts = np.concatenate([[0], np.cumsum(ccounts)])
-    csc_rows = np.full((n, p), -1, np.int32)
-    csc_vals = np.zeros((n, p), np.float32)
-    # vectorized fill: position within column
-    pos = np.arange(len(cols_s)) - cstarts[cols_s[corder]]
-    csc_rows[cols_s[corder], pos] = c_rows
-    csc_vals[cols_s[corder], pos] = c_vals_sorted
+            ccounts = np.bincount(self.cols, minlength=self.n)
+            p = _pad_pow2(int(ccounts.max()) if len(self.cols) else 1)
+            if p > _MAX_COL_OCCUPANCY and sp is not None:
+                self._dev = "host"
+            else:
+                corder = np.argsort(self.cols, kind="stable")
+                cstarts = np.concatenate([[0], np.cumsum(ccounts)])
+                csc_rows = np.full((self.n, p), -1, np.int32)
+                csc_vals = np.zeros((self.n, p), np.float32)
+                # vectorized fill: position within column
+                pos = np.arange(len(self.cols)) - cstarts[self.cols[corder]]
+                csc_rows[self.cols[corder], pos] = self.rows[corder]
+                csc_vals[self.cols[corder], pos] = self.vals[corder]
+                csc_rows_d = jnp.asarray(csc_rows)
+                csc_vals_d = jnp.asarray(csc_vals)
 
-    csc_rows_d = jnp.asarray(csc_rows)
-    csc_vals_d = jnp.asarray(csc_vals)
+                @functools.partial(jax.jit, static_argnames=("n_items",))
+                def _chunk(qc, qv, n_items):
+                    cols_safe = jnp.maximum(qc, 0)
+                    rows_g = jnp.take(csc_rows_d, cols_safe, axis=0)  # (B,M,P)
+                    vals_g = jnp.take(csc_vals_d, cols_safe, axis=0)
+                    contrib = jnp.minimum(qv[:, :, None], vals_g)
+                    valid = (qc[:, :, None] >= 0) & (rows_g >= 0)
+                    contrib = jnp.where(valid, contrib, 0.0)
+                    rows_safe = jnp.where(valid, rows_g, 0)
+                    b = qc.shape[0]
+                    b_idx = jnp.broadcast_to(
+                        jnp.arange(b)[:, None, None], rows_safe.shape
+                    )
+                    t = jnp.zeros((b, n_items), jnp.float32).at[
+                        b_idx, rows_safe
+                    ].add(contrib)
+                    return 1.0 - t / (2.0 - t)
 
-    @functools.partial(jax.jit, static_argnames=("n_items",))
-    def _chunk(qc, qv, n_items):
-        cols_safe = jnp.maximum(qc, 0)
-        rows_g = jnp.take(csc_rows_d, cols_safe, axis=0)  # (B, M, P)
-        vals_g = jnp.take(csc_vals_d, cols_safe, axis=0)
-        contrib = jnp.minimum(qv[:, :, None], vals_g)
-        valid = (qc[:, :, None] >= 0) & (rows_g >= 0)
-        contrib = jnp.where(valid, contrib, 0.0)
-        rows_safe = jnp.where(valid, rows_g, 0)
-        b = qc.shape[0]
-        b_idx = jnp.broadcast_to(
-            jnp.arange(b)[:, None, None], rows_safe.shape
+                self._dev = (csc_rows_d, csc_vals_d, _chunk)
+        return None if self._dev == "host" else self._dev
+
+    def _query_device(self, query_rows, query_chunk):
+        import jax.numpy as jnp
+
+        structs = self._device_structs()
+        if structs is None:  # degenerate occupancy, scipy available
+            return self._query_host(query_rows)
+        _, _, chunk_fn = structs
+        n = self.n
+        if self._row_starts is None:
+            counts = np.bincount(self.rows, minlength=n)
+            self._row_starts = np.concatenate([[0], np.cumsum(counts)])
+        starts = self._row_starts
+        m = _pad_pow2(
+            int((starts[query_rows + 1] - starts[query_rows]).max())
+            if len(query_rows) else 1
         )
-        t = jnp.zeros((b, n_items), jnp.float32).at[b_idx, rows_safe].add(
-            contrib
-        )
-        return 1.0 - t / (2.0 - t)
+        q_cols = np.full((len(query_rows), m), -1, np.int32)
+        q_vals = np.zeros((len(query_rows), m), np.float32)
+        for out_i, r in enumerate(query_rows):
+            s, e = starts[r], starts[r + 1]
+            q_cols[out_i, : e - s] = self.cols[s:e]
+            q_vals[out_i, : e - s] = self.vals[s:e]
 
-    out = np.empty((len(query_rows), n), np.float32)
-    for s in range(0, len(query_rows), query_chunk):
-        e = min(s + query_chunk, len(query_rows))
-        pad = query_chunk - (e - s)
-        qc = q_cols[s:e]
-        qv = q_vals[s:e]
-        if pad:
-            qc = np.concatenate([qc, np.full((pad, m), -1, np.int32)])
-            qv = np.concatenate([qv, np.zeros((pad, m), np.float32)])
-        out[s:e] = np.asarray(_chunk(jnp.asarray(qc), jnp.asarray(qv), n))[
-            : e - s
-        ]
-    return out
+        out = np.empty((len(query_rows), n), np.float32)
+        for s in range(0, len(query_rows), query_chunk):
+            e = min(s + query_chunk, len(query_rows))
+            pad = query_chunk - (e - s)
+            qc = q_cols[s:e]
+            qv = q_vals[s:e]
+            if pad:
+                qc = np.concatenate([qc, np.full((pad, m), -1, np.int32)])
+                qv = np.concatenate([qv, np.zeros((pad, m), np.float32)])
+            out[s:e] = np.asarray(
+                chunk_fn(jnp.asarray(qc), jnp.asarray(qv), n)
+            )[: e - s]
+        return out
+
+    def query(self, query_rows, query_chunk=512, prefer="auto"):
+        """(len(query_rows), n) Jaccard distances. ``prefer`` = "auto" |
+        "host" | "device": auto routes by estimated host work (queries x
+        avg row nnz squared); host requires scipy."""
+        if prefer not in ("auto", "host", "device"):
+            raise ValueError(f"prefer={prefer!r}")
+        query_rows = np.asarray(query_rows, np.int64)
+        if prefer == "host" and sp is None:
+            raise ImportError("prefer='host' Jaccard requires scipy")
+        if sp is not None and prefer != "device":
+            avg_row = len(self.vals) / max(self.n, 1)
+            est_host_vec_ops = len(query_rows) * avg_row * avg_row
+            if prefer == "host" or est_host_vec_ops < 5e8:
+                return self._query_host(query_rows)
+        return self._query_device(query_rows, query_chunk)
 
 
-def _jaccard_for_queries_host(rows, cols, vals, n, query_rows):
-    """scipy fallback for degenerate column occupancy."""
-    v_csr = sp.csr_matrix((vals, (rows, cols)), shape=(n, n), dtype=np.float32)
-    v_csc = v_csr.T.tocsr()
-    out = np.empty((len(query_rows), n), np.float32)
-    for out_i, i in enumerate(query_rows):
-        row = v_csr.getrow(i)
-        temp_min = np.zeros(n, np.float32)
-        for j, vij in zip(row.indices, row.data):
-            colj = v_csc.getrow(j)
-            temp_min[colj.indices] += np.minimum(vij, colj.data)
-        out[out_i] = 1.0 - temp_min / (2.0 - temp_min)
-    return out
+def jaccard_for_queries(rows, cols, vals, n, query_rows, query_chunk=512,
+                        prefer="auto"):
+    """One-shot wrapper over :class:`JaccardEngine` (see its docstring)."""
+    return JaccardEngine(rows, cols, vals, n).query(
+        query_rows, query_chunk=query_chunk, prefer=prefer
+    )
 
 
 def rerank_ranks_streaming(q_feats, g_feats, k1=25, k2=1, lambda_value=0.0,
@@ -341,8 +390,11 @@ def rerank_ranks_streaming(q_feats, g_feats, k1=25, k2=1, lambda_value=0.0,
         ``k_out`` gallery entries.
 
     Ties (queries sharing zero V-overlap with a gallery item get identical
-    Jaccard distance 1.0) may order differently than re_ranking's argsort;
-    with lambda_value > 0 the original distances break ties identically.
+    Jaccard distance 1.0) are broken by the original feature distance — a
+    deterministic, semantically meaningful order (it is exactly what
+    re_ranking's lambda_value > 0 mixing does in the limit λ→0), applied as
+    a sub-1e-12 float64 key perturbation so any genuine Jaccard difference
+    still dominates.
 
     Returns (indices (Q, k_out) int64 into the gallery, final dists (Q, k_out)).
     """
@@ -363,6 +415,11 @@ def rerank_ranks_streaming(q_feats, g_feats, k1=25, k2=1, lambda_value=0.0,
     )
 
     if k2 != 1:
+        if sp is None:
+            raise ImportError(
+                "rerank_ranks_streaming with k2 != 1 (query expansion) "
+                "requires scipy; the reference call sites use k2=1"
+            )
         v_mat = sp.csr_matrix((vals, (rows, cols)), shape=(n, n),
                               dtype=np.float32)
         v_new = sp.lil_matrix((n, n), dtype=np.float32)
@@ -374,24 +431,34 @@ def rerank_ranks_streaming(q_feats, g_feats, k1=25, k2=1, lambda_value=0.0,
                             coo.col.astype(np.int32),
                             coo.data.astype(np.float32))
 
+    engine = JaccardEngine(rows, cols, vals, n)
     out_idx = np.empty((n_q, k_out), np.int64)
     out_dist = np.empty((n_q, k_out), np.float32)
     for s in range(0, n_q, query_chunk):
         e = min(s + query_chunk, n_q)
-        final = jaccard_for_queries(rows, cols, vals, n, np.arange(s, e))
+        final = engine.query(np.arange(s, e))
+        d2_chunk = np.asarray(
+            pairwise_sqdist(jnp.asarray(q[s:e]), jnp.asarray(u)),
+            np.float32,
+        )
+        orig_chunk = np.square(np.maximum(d2_chunk, 0.0)) / rm2[s:e, None]
         if lambda_value != 0:
-            d2_chunk = np.asarray(
-                pairwise_sqdist(jnp.asarray(q[s:e]), jnp.asarray(u)),
-                np.float32,
-            )
-            orig_chunk = np.square(np.maximum(d2_chunk, 0.0)) / rm2[s:e, None]
             final = final * (1 - lambda_value) + orig_chunk * lambda_value
         final_g = final[:, n_q:]
-        part = np.argpartition(final_g, k_out - 1, axis=1)[:, :k_out]
-        pvals = np.take_along_axis(final_g, part, axis=1)
-        order = np.argsort(pvals, axis=1, kind="stable")
+        # rank by float64 (final, original-distance) composite: the <1e-12
+        # original term is far below the f32 spacing of Jaccard values near
+        # 1.0 (~1e-7), so it orders the all-tied zero-overlap tail without
+        # disturbing genuine Jaccard differences
+        key = final_g.astype(np.float64) + (
+            orig_chunk[:, n_q:] / (orig_chunk[:, n_q:].max() + 1.0)
+        ).astype(np.float64) * 1e-12
+        part = np.argpartition(key, k_out - 1, axis=1)[:, :k_out]
+        pkeys = np.take_along_axis(key, part, axis=1)
+        order = np.argsort(pkeys, axis=1, kind="stable")
         out_idx[s:e] = np.take_along_axis(part, order, axis=1)
-        out_dist[s:e] = np.take_along_axis(pvals, order, axis=1)
+        out_dist[s:e] = np.take_along_axis(
+            np.take_along_axis(final_g, part, axis=1), order, axis=1
+        )
     return out_idx, out_dist
 
 

@@ -51,6 +51,7 @@ class FanoutStream(io.TextIOBase):
             sink.close()
         self._sinks = [s for s in self._sinks if s not in self._owned]
         self._owned = []
+        atexit.unregister(self.close)  # don't accumulate closed streams
         super().close()
 
 

@@ -184,12 +184,6 @@ class TestSFRSResume:
             pipeline.run_sfrs_training(cfg, verbose=False)
 
 
-def _flatten(tree):
-    import jax
-
-    return jax.tree.flatten(tree)
-
-
 class TestEvalRerankNMS:
     def test_run_eval_rerank_and_nms(self, tmp_path):
         """--rerank + NMS flags through the eval entry (random model; only
