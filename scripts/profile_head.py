@@ -64,19 +64,27 @@ def main():
         out[name] = round(ms, 3)
         print(f"{name:24s} {ms:8.3f} ms", file=sys.stderr)
 
-    rec("netvlad_fused", jax.jit(lambda f: netvlad_descriptor_fused(vp, f)),
-        fmap)
+    # two tunnel traps: (1) params must be jit ARGUMENTS — captured trees
+    # become HLO constants and the 537 MB PCA weights blow the compile
+    # request limit (HTTP 413); (2) outputs must be reduced ON DEVICE —
+    # fetching a (128, 32768) f32 descriptor block through the ~20 MB/s
+    # tunnel costs ~800 ms and swamps the sub-ms compute being measured
+    rec("netvlad_fused",
+        jax.jit(lambda p, f: jnp.sum(netvlad_descriptor_fused(p, f))),
+        vp, fmap)
     rec("netvlad_xla",
-        jax.jit(lambda f: vlad_postprocess(netvlad_apply(vp, f))), fmap)
-    rec("pca_highest", jax.jit(lambda d: pca_layer_apply(pp, d)), desc)
+        jax.jit(lambda p, f: jnp.sum(vlad_postprocess(netvlad_apply(p, f)))),
+        vp, fmap)
+    rec("pca_highest",
+        jax.jit(lambda p, d: jnp.sum(pca_layer_apply(p, d))), pp, desc)
 
     w = pp["w"].astype(jnp.float32)
     b = pp["b"].astype(jnp.float32)
     for prec in ("default", "high"):
-        f = jax.jit(lambda d, p=prec: (
+        f = jax.jit(lambda w, b, d, p=prec: jnp.sum((
             lambda y: y / jnp.linalg.norm(y, axis=1, keepdims=True)
-        )(jnp.dot(d, w, precision=p) + b))
-        rec(f"pca_{prec}", f, desc)
+        )(jnp.dot(d, w, precision=p) + b)))
+        rec(f"pca_{prec}", f, w, b, desc)
 
     print(json.dumps(out))
 
