@@ -18,11 +18,21 @@ from openibl_tpu.parallel.mesh import get_mesh, maybe_init_distributed
 def main():
     p = argparse.ArgumentParser(description="model evaluation (TPU)")
     p.add_argument("-d", "--dataset", type=str, default="pitts")
+    p.add_argument("-a", "--arch", type=str, default="vgg16",
+                   help="accepted for reference CLI parity (vgg16 backbone)")
+    p.add_argument("-j", "--workers", type=int, default=2,
+                   help="host-side prefetch depth per loader")
     p.add_argument("--scale", type=str, default="250k")
     p.add_argument("--data-dir", type=str, default="data")
-    p.add_argument("--checkpoint", type=str, required=True)
+    p.add_argument("--checkpoint", "--resume", dest="checkpoint", type=str,
+                   required=True)
     p.add_argument("--pca-params", type=str, default="")
     p.add_argument("--no-reduction", action="store_true")
+    p.add_argument("--nowhiten", action="store_true",
+                   help="skip whitening inside the PCA reduction")
+    p.add_argument("--vlad", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="--no-vlad evaluates the global max-pool feature")
     p.add_argument("--features", type=int, default=4096)
     p.add_argument("--num-clusters", type=int, default=64)
     p.add_argument("--height", type=int, default=480)
@@ -40,10 +50,11 @@ def main():
         data=DataConfig(
             dataset=args.dataset, scale=args.scale, data_dir=args.data_dir,
             height=args.height, width=args.width,
-            test_batch_size=args.test_batch_size,
+            test_batch_size=args.test_batch_size, workers=args.workers,
         ),
         checkpoint=args.checkpoint, pca_params=args.pca_params,
         reduction=not args.no_reduction, pca_dim=args.features,
+        whiten=not args.nowhiten, use_vlad=args.vlad,
         rerank=args.rerank, rr_topk=args.rr_topk,
         lambda_value=args.lambda_value,
         nms=args.nms or args.dataset == "tokyo",

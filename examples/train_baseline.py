@@ -22,6 +22,9 @@ from openibl_tpu.utils import Logger
 def main():
     p = argparse.ArgumentParser(description="NetVLAD/SARE training (TPU)")
     p.add_argument("-d", "--dataset", type=str, default="pitts")
+    p.add_argument("-a", "--arch", type=str, default="vgg16")
+    p.add_argument("-j", "--workers", type=int, default=2,
+                   help="host-side prefetch depth per loader")
     p.add_argument("--scale", type=str, default="30k")
     p.add_argument("--data-dir", type=str, default="data")
     p.add_argument("--logs-dir", type=str, default="logs")
@@ -31,6 +34,8 @@ def main():
     p.add_argument("--tuple-size", type=int, default=1)
     p.add_argument("--test-batch-size", type=int, default=32)
     p.add_argument("--cache-size", type=int, default=1000)
+    p.add_argument("--iters", type=int, default=0,
+                   help=">0 caps train iterations per subset")
     p.add_argument("--neg-num", type=int, default=10)
     p.add_argument("--neg-pool", type=int, default=1000)
     p.add_argument("--num-clusters", type=int, default=64)
@@ -44,6 +49,16 @@ def main():
     p.add_argument("--epochs", type=int, default=5)
     p.add_argument("--margin", type=float, default=0.1)
     p.add_argument("--features", type=int, default=4096)
+    p.add_argument("--nowhiten", action="store_true",
+                   help="skip whitening in the final PCA reduction")
+    p.add_argument("--vlad", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="--no-vlad trains on the global max-pool feature "
+                        "(the reference defaults to no-vlad; every published "
+                        "recipe passes --vlad, so that is our default)")
+    p.add_argument("--deterministic", action="store_true",
+                   help="accepted for reference CLI parity; runs are "
+                        "always deterministic (seeded streams, XLA)")
     p.add_argument("--eval-step", type=int, default=1)
     p.add_argument("--seed", type=int, default=43)
     p.add_argument("--print-freq", type=int, default=10)
@@ -58,12 +73,13 @@ def main():
         data=DataConfig(
             dataset=args.dataset, scale=args.scale, data_dir=args.data_dir,
             height=args.height, width=args.width,
-            test_batch_size=args.test_batch_size,
+            test_batch_size=args.test_batch_size, workers=args.workers,
         ),
+        arch=args.arch, use_vlad=args.vlad, whiten=not args.nowhiten,
         train_layers=args.layers, num_clusters=args.num_clusters,
         loss_type=args.loss_type, margin_sq=args.margin,
         tuple_size=args.tuple_size, neg_num=args.neg_num,
-        neg_pool=args.neg_pool, cache_size=args.cache_size,
+        neg_pool=args.neg_pool, cache_size=args.cache_size, iters=args.iters,
         epochs=args.epochs, lr=args.lr, momentum=args.momentum,
         weight_decay=args.weight_decay, step_size=args.step_size,
         eval_step=args.eval_step, seed=args.seed, pca_dim=args.features,

@@ -21,6 +21,9 @@ from openibl_tpu.utils import Logger
 def main():
     p = argparse.ArgumentParser(description="SFRS training (TPU)")
     p.add_argument("-d", "--dataset", type=str, default="pitts")
+    p.add_argument("-a", "--arch", type=str, default="vgg16")
+    p.add_argument("-j", "--workers", type=int, default=2,
+                   help="host-side prefetch depth per loader")
     p.add_argument("--scale", type=str, default="30k")
     p.add_argument("--data-dir", type=str, default="data")
     p.add_argument("--logs-dir", type=str, default="logs")
@@ -30,6 +33,8 @@ def main():
     p.add_argument("--tuple-size", type=int, default=1)
     p.add_argument("--test-batch-size", type=int, default=32)
     p.add_argument("--cache-size", type=int, default=1000)
+    p.add_argument("--iters", type=int, default=0,
+                   help=">0 caps train iterations per subset")
     p.add_argument("--neg-num", type=int, default=10)
     p.add_argument("--neg-pool", type=int, default=1000)
     p.add_argument("--pos-num", type=int, default=10)
@@ -48,30 +53,47 @@ def main():
     p.add_argument("--soft-weight", type=float, default=0.5)
     p.add_argument("--margin", type=float, default=0.1)
     p.add_argument("--features", type=int, default=4096)
+    p.add_argument("--nowhiten", action="store_true",
+                   help="skip whitening in the final PCA reduction")
+    p.add_argument("--vlad", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="accepted for reference CLI parity; SFRS region "
+                        "similarities require the VLAD head")
+    p.add_argument("--deterministic", action="store_true",
+                   help="accepted for reference CLI parity; runs are "
+                        "always deterministic (seeded streams, XLA)")
+    p.add_argument("--eval-step", type=int, default=1)
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 backbone compute")
     p.add_argument("--seed", type=int, default=43)
     p.add_argument("--print-freq", type=int, default=10)
     p.add_argument("--resume", type=str, default="")
     p.add_argument("--n-devices", type=int, default=None)
     args = p.parse_args()
+    if not args.vlad:
+        p.error("SFRS region similarities require the VLAD head (--vlad)")
 
     maybe_init_distributed()
     cfg = SFRSConfig(
         data=DataConfig(
             dataset=args.dataset, scale=args.scale, data_dir=args.data_dir,
             height=args.height, width=args.width,
-            test_batch_size=args.test_batch_size,
+            test_batch_size=args.test_batch_size, workers=args.workers,
         ),
+        arch=args.arch, whiten=not args.nowhiten,
         train_layers=args.layers, num_clusters=args.num_clusters,
         loss_type=args.loss_type, margin_sq=args.margin,
         tuple_size=args.tuple_size, neg_num=args.neg_num,
         neg_pool=args.neg_pool, pos_num=args.pos_num, pos_pool=args.pos_pool,
-        cache_size=args.cache_size, epochs=args.epochs,
+        cache_size=args.cache_size, iters=args.iters, epochs=args.epochs,
         generations=args.generations, temperature=tuple(args.temperature),
         soft_weight=args.soft_weight, lr=args.lr, momentum=args.momentum,
         weight_decay=args.weight_decay, step_size=args.step_size,
+        eval_step=args.eval_step,
         seed=args.seed, pca_dim=args.features, logs_dir=args.logs_dir,
         init_dir=args.init_dir, print_freq=args.print_freq,
         resume=args.resume,
+        compute_dtype="bfloat16" if args.bf16 else "float32",
     )
     sys.stdout = Logger(osp.join(cfg.logs_dir, "log.txt"))
     print(f"config: {cfg}")

@@ -34,6 +34,7 @@ class TrainConfig:
     neg_num: int = 10
     neg_pool: int = 1000
     cache_size: int = 1000
+    iters: int = 0  # >0 caps train iterations per subset (reference --iters)
     epochs: int = 5
     lr: float = 1e-3
     momentum: float = 0.9
@@ -43,6 +44,7 @@ class TrainConfig:
     eval_step: int = 1
     seed: int = 43
     pca_dim: int = 4096
+    whiten: bool = True  # PCA whitening at the final test (reference --nowhiten)
     logs_dir: str = "logs"
     init_dir: str = "logs"
     resume: str = ""
@@ -73,6 +75,8 @@ class EvalConfig:
     checkpoint: str = ""
     pca_params: str = ""
     reduction: bool = True  # apply PCA-whitening to 4096
+    whiten: bool = True  # whitening inside the reduction (reference --nowhiten)
+    use_vlad: bool = True  # False evaluates the global max-pool feature
     pca_dim: int = 4096
     rerank: bool = False
     rr_topk: int = 25

@@ -113,7 +113,7 @@ def build_model(cfg, dataset, region=False, tuple_size=None, rng_seed=0):
     conversion the reference trains from, vgg.py:57-58); random init
     otherwise."""
     base = models.create(
-        "vgg16", train_layers=cfg.train_layers,
+        cfg.arch, train_layers=cfg.train_layers,
         compute_dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32,
     )
     nv = models.NetVLAD(num_clusters=cfg.num_clusters)
@@ -223,6 +223,7 @@ def run_baseline_training(cfg, mesh=None, verbose=True):
         best_recall5 = float(meta.get("best_recall5", 0.0))
 
     bs = cfg.data.test_batch_size
+    pf = cfg.data.workers
     history = []
     for epoch in range(start_epoch, cfg.epochs):
         sampler.set_epoch(cfg.seed + epoch)
@@ -235,17 +236,21 @@ def run_baseline_training(cfg, mesh=None, verbose=True):
             with _WATCHDOG.watch(f"mining extraction epoch {epoch}-{subid}"):
                 g_feats = extract_features(
                     emodel.apply, params,
-                    BatchLoader(sources["db_train"], batch_size=bs),
+                    BatchLoader(sources["db_train"], batch_size=bs, prefetch=pf),
                     mesh=mesh, feature=feature,
                 )
                 q_feats = extract_features(
                     emodel.apply, params,
-                    BatchLoader(sources["q_train"], indices=subset, batch_size=bs),
+                    BatchLoader(sources["q_train"], indices=subset,
+                                batch_size=bs, prefetch=pf),
                     mesh=mesh, feature=feature,
                 )
             tuples = sampler.refresh(q_feats, g_feats, subset)
+            if getattr(cfg, "iters", 0) > 0:
+                tuples = tuples[: cfg.iters * cfg.tuple_size]
             sources["tuple"].transform.reseed(cfg.seed, epoch, subid)
-            loader = TupleLoader(sources["tuple"], tuples, cfg.tuple_size)
+            loader = TupleLoader(sources["tuple"], tuples, cfg.tuple_size,
+                                 prefetch=pf)
             params, opt_state, avg_loss = trainer.train_epoch(
                 params, opt_state, loader, print_freq=cfg.print_freq,
                 log_prefix=f"Epoch [{epoch}-{subid}]",
@@ -307,7 +312,8 @@ def finalize_with_pca(cfg, dataset, sources, model, params, mesh=None,
         sel = np.random.RandomState(cfg.seed).choice(len(feats), 10000, replace=False)
         feats = feats[sel]
     pca = pca_ops.PCA(
-        min(cfg.pca_dim, feats.shape[0], feats.shape[1]), whiten=True,
+        min(cfg.pca_dim, feats.shape[0], feats.shape[1]),
+        whiten=getattr(cfg, "whiten", True),
         params_path=osp.join(cfg.logs_dir, "pca_params_model_best.h5"),
     )
     pca.train(feats)
@@ -360,6 +366,7 @@ def run_sfrs_training(cfg, mesh=None, verbose=True):
     )
 
     bs = cfg.data.test_batch_size
+    pf = cfg.data.workers
     best_recall5 = 0.0
     start_gen, resume_epoch = 0, None
     if cfg.resume:
@@ -407,7 +414,8 @@ def run_sfrs_training(cfg, mesh=None, verbose=True):
                 jaccard_rows = None
                 g_feats = extract_features(
                     emodel.apply, params,
-                    BatchLoader(sources["db_train"], batch_size=bs), mesh=mesh,
+                    BatchLoader(sources["db_train"], batch_size=bs, prefetch=pf),
+                    mesh=mesh,
                 )
                 if gen > 0:
                     # Jaccard mining over the full q∪g union
@@ -418,7 +426,9 @@ def run_sfrs_training(cfg, mesh=None, verbose=True):
                     # reranks every query each refresh)
                     q_all = extract_features(
                         emodel.apply, params,
-                        BatchLoader(sources["q_train"], batch_size=bs), mesh=mesh,
+                        BatchLoader(sources["q_train"], batch_size=bs,
+                                    prefetch=pf),
+                        mesh=mesh,
                     )
                     from openibl_tpu.ops.rerank import (
                         build_v_sparse, jaccard_for_queries,
@@ -443,13 +453,16 @@ def run_sfrs_training(cfg, mesh=None, verbose=True):
                     q_feats = extract_features(
                         emodel.apply, params,
                         BatchLoader(sources["q_train"], indices=subset,
-                                    batch_size=bs),
+                                    batch_size=bs, prefetch=pf),
                         mesh=mesh,
                     )
                 tuples = sampler.refresh(q_feats, g_feats, subset,
                                          jaccard_rows=jaccard_rows)
+                if getattr(cfg, "iters", 0) > 0:
+                    tuples = tuples[: cfg.iters * cfg.tuple_size]
                 sources["tuple"].transform.reseed(cfg.seed, gen, epoch, subid)
-                loader = TupleLoader(sources["tuple"], tuples, cfg.tuple_size)
+                loader = TupleLoader(sources["tuple"], tuples, cfg.tuple_size,
+                                     prefetch=pf)
                 params, opt_state, (lh, ls) = trainer.train_epoch(
                     params, teacher, opt_state, loader, gen,
                     print_freq=cfg.print_freq,
@@ -459,6 +472,8 @@ def run_sfrs_training(cfg, mesh=None, verbose=True):
                     print(f"Gen {gen} Epoch [{epoch}-{subid}] "
                           f"hard {lh:.4f} soft {ls:.4f}")
 
+            if not ((epoch + 1) % cfg.eval_step == 0 or epoch == cfg.epochs - 1):
+                continue  # eval/checkpoint cadence (netvlad_img_sfrs.py:210)
             recalls = evaluator.evaluate(
                 params,
                 BatchLoader(sources["q_val"], batch_size=bs),
@@ -503,6 +518,7 @@ def run_eval(cfg, mesh=None, train_cfg=None, verbose=True):
     q_src = ImageSource(dataset.q_test, dataset.images_dir, test_tf)
     db_src = ImageSource(dataset.db_test, dataset.images_dir, fixed_tf)
 
+    feature = "vlad" if getattr(cfg, "use_vlad", True) else "pool"
     nv = models.NetVLAD(num_clusters=cfg.num_clusters)
     model = models.create("embednet", net_vlad=nv)
     model = eval_view(model)
@@ -527,7 +543,8 @@ def run_eval(cfg, mesh=None, train_cfg=None, verbose=True):
         pca_path = cfg.pca_params or osp.join(
             osp.dirname(cfg.checkpoint) or ".", "pca_params.h5"
         )
-        pca = pca_ops.PCA(cfg.pca_dim, whiten=True, params_path=pca_path)
+        pca = pca_ops.PCA(cfg.pca_dim, whiten=getattr(cfg, "whiten", True),
+                          params_path=pca_path)
         if not osp.isfile(pca_path):
             # compute PCA from the training split of the PCA source dataset
             # on demand (reference test.py:108-121 uses Pitts30k-train)
@@ -546,7 +563,7 @@ def run_eval(cfg, mesh=None, train_cfg=None, verbose=True):
             feats = extract_features(
                 model.apply, params,
                 BatchLoader(src, batch_size=cfg.data.test_batch_size),
-                mesh=mesh,
+                mesh=mesh, feature=feature,
             )
             if len(feats) > 10000:
                 sel = np.random.RandomState(0).choice(len(feats), 10000,
@@ -556,6 +573,7 @@ def run_eval(cfg, mesh=None, train_cfg=None, verbose=True):
             pca.train(feats)
 
     bs = cfg.data.test_batch_size
+    pf = cfg.data.workers
     if cfg.data.dataset == "tokyo":
         # variable query sizes: bucket-pad to one static shape per
         # orientation and run the masked forward — one (or two) jit
@@ -564,16 +582,16 @@ def run_eval(cfg, mesh=None, train_cfg=None, verbose=True):
         # distributes batch-1 per-shape queries, examples/test.py:44-48)
         from openibl_tpu.data.loader import PaddedBatchLoader
 
-        q_loader = PaddedBatchLoader(q_src, batch_size=bs)
-        evaluator = Evaluator(model.apply, mesh=mesh,
+        q_loader = PaddedBatchLoader(q_src, batch_size=bs, prefetch=pf)
+        evaluator = Evaluator(model.apply, mesh=mesh, feature=feature,
                               masked_apply_fn=model.apply_masked)
     else:
-        q_loader = BatchLoader(q_src, batch_size=bs)
-        evaluator = Evaluator(model.apply, mesh=mesh)
+        q_loader = BatchLoader(q_src, batch_size=bs, prefetch=pf)
+        evaluator = Evaluator(model.apply, mesh=mesh, feature=feature)
     return evaluator.evaluate(
         params,
         q_loader,
-        BatchLoader(db_src, batch_size=bs),
+        BatchLoader(db_src, batch_size=bs, prefetch=pf),
         dataset.test_pos,
         gallery_pids=[it[1] for it in dataset.db_test],
         pca=pca,

@@ -98,6 +98,43 @@ class TestEvalEntry:
         assert len(recalls) == 3
 
 
+class TestReferenceFlagKnobs:
+    def test_iters_caps_subset_iterations(self, tmp_path, monkeypatch):
+        """cfg.iters > 0 truncates each subset's tuple stream (the reference's
+        --iters loader-length override, netvlad_img.py:139,281)."""
+        seen = []
+        real_loader = pipeline.TupleLoader
+
+        def spy(source, tuples, tuple_size=1, **kw):
+            seen.append(len(tuples))
+            return real_loader(source, tuples, tuple_size, **kw)
+
+        monkeypatch.setattr(pipeline, "TupleLoader", spy)
+        cfg = _cfg(tmp_path, iters=1, whiten=False)
+        params, recalls, history = pipeline.run_baseline_training(
+            cfg, verbose=False
+        )
+        assert seen and all(n == 1 for n in seen), seen
+        assert len(recalls) == 3  # nowhiten PCA still evaluates
+
+    def test_eval_pool_feature(self, tmp_path):
+        """--no-vlad evaluation retrieves on the 512-d max-pool feature
+        (reference test.py vlad=False plumbing)."""
+        from openibl_tpu.config import EvalConfig
+
+        cfg = _cfg(tmp_path)
+        pipeline.run_baseline_training(cfg, verbose=False)
+        ecfg = EvalConfig(
+            data=cfg.data,
+            checkpoint=osp.join(cfg.logs_dir, "model_best.npz"),
+            reduction=False,
+            use_vlad=False,
+            num_clusters=8,
+        )
+        recalls = pipeline.run_eval(ecfg, verbose=False)
+        assert len(recalls) == 3
+
+
 class TestEvalPCAOnDemand:
     def test_run_eval_computes_pca_when_missing(self, tmp_path):
         """--reduction with no PCA params file must train PCA from the source

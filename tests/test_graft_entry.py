@@ -64,7 +64,11 @@ def test_dryrun_multichip_after_jax_preinitialized():
     """Driver variant where JAX backends were already initialized (1 CPU
     device) before dryrun_multichip — the function must clear + re-provision."""
     proc = _run(
+        # force CPU via jax.config, not the env var: the axon TPU plugin
+        # ignores JAX_PLATFORMS, and touching the real backend here would
+        # hang the test whenever the tunnel is degraded (CLAUDE.md gotchas)
         "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
         "assert len(jax.devices()) == 1, jax.devices()\n"
         "import __graft_entry__\n"
         "__graft_entry__.dryrun_multichip(8)\n"
