@@ -1,0 +1,168 @@
+"""Probe which Pallas/Mosaic patterns this toolchain lowers on the real TPU.
+
+Hand tool (not CI). Each probe is a tiny pallas_call exercising one layout
+pattern that a fused conv kernel would need; the output tells us which
+first-block conv strategy is implementable before we invest in it:
+
+  p1  lane-dim concat of 3-wide channel slices -> 27-wide patch axis
+      (openibl_tpu/ops/conv1_kernel.py's im2col; CLAUDE.md says Mosaic
+      rejects this — confirm on the current toolchain)
+  p2  lane-dim concat of 64-wide slices -> 576 (conv1_2 patch matrix)
+  p3  sublane-dim slicing at +1/+2 offsets (halo reads for 3x3 taps)
+  p4  sublane-dim stride-2 slicing (2x2 maxpool without relayout)
+  p5  dot_general with K=3 (lane-padded contraction)
+
+Usage: python scripts/mosaic_probe.py            # runs all, prints a table
+"""
+
+import functools
+import pathlib
+import sys
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+
+def _run(name, kernel, x, out_shape):
+    try:
+        fn = pl.pallas_call(kernel, out_shape=out_shape)
+        got = np.asarray(jax.jit(fn)(x))
+        return name, "OK", got
+    except Exception as e:  # noqa: BLE001 - report any lowering failure
+        msg = str(e).split("\n")[0][:110]
+        return name, f"FAIL {type(e).__name__}: {msg}", None
+
+
+def probe_concat(width, pieces):
+    def kernel(x_ref, o_ref):
+        parts = [x_ref[:, i * width : (i + 1) * width] for i in range(pieces)]
+        o_ref[:] = jnp.concatenate(parts[::-1], axis=-1)
+
+    x = np.arange(8 * width * pieces, dtype=np.float32).reshape(
+        8, width * pieces
+    )
+    name = f"concat lane {pieces}x{width}->{pieces * width}"
+    got = _run(name, kernel, x, jax.ShapeDtypeStruct(x.shape, x.dtype))
+    if got[2] is not None:
+        want = np.concatenate(
+            [x[:, i * width : (i + 1) * width] for i in range(pieces)][::-1],
+            axis=-1,
+        )
+        ok = np.array_equal(got[2], want)
+        return got[0], got[1] + ("" if ok else " (WRONG VALUES)")
+    return got[0], got[1]
+
+
+def probe_sublane_offsets():
+    def kernel(x_ref, o_ref):
+        o_ref[:] = x_ref[0:16, :] + x_ref[1:17, :] + x_ref[2:18, :]
+
+    x = np.arange(18 * 256, dtype=np.float32).reshape(18, 256)
+    name = "sublane offsets +0/+1/+2"
+    got = _run(name, kernel, x, jax.ShapeDtypeStruct((16, 256), x.dtype))
+    if got[2] is not None:
+        want = x[0:16] + x[1:17] + x[2:18]
+        ok = np.array_equal(got[2], want)
+        return got[0], got[1] + ("" if ok else " (WRONG VALUES)")
+    return got[0], got[1]
+
+
+def probe_sublane_stride2():
+    def kernel(x_ref, o_ref):
+        o_ref[:] = jnp.maximum(x_ref[0::2, :], x_ref[1::2, :])
+
+    x = np.random.RandomState(0).randn(32, 256).astype(np.float32)
+    name = "sublane stride-2 max (pool)"
+    got = _run(name, kernel, x, jax.ShapeDtypeStruct((16, 256), x.dtype))
+    if got[2] is not None:
+        want = np.maximum(x[0::2], x[1::2])
+        ok = np.array_equal(got[2], want)
+        return got[0], got[1] + ("" if ok else " (WRONG VALUES)")
+    return got[0], got[1]
+
+
+def probe_k3_dot():
+    w = np.random.RandomState(1).randn(3, 64).astype(np.float32)
+
+    def kernel(x_ref, w_ref, o_ref):
+        o_ref[:] = jax.lax.dot_general(
+            x_ref[:], w_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    x = np.random.RandomState(2).randn(128, 3).astype(np.float32)
+    name = "dot K=3 (lane-padded)"
+    try:
+        fn = pl.pallas_call(
+            kernel, out_shape=jax.ShapeDtypeStruct((128, 64), np.float32)
+        )
+        got = np.asarray(jax.jit(fn)(x, w))
+    except Exception as e:  # noqa: BLE001
+        msg = str(e).split("\n")[0][:110]
+        return name, f"FAIL {type(e).__name__}: {msg}"
+    ok = np.allclose(got, x @ w, atol=1e-4)
+    return name, "OK" + ("" if ok else " (WRONG VALUES)")
+
+
+def probe_conv1_kernel():
+    """The real candidate kernel on real shapes, + timing vs the XLA conv."""
+    import time
+
+    from openibl_tpu.ops.conv1_kernel import _conv1_fused, _xla_path
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(8, 480, 640, 3).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    w = jnp.asarray(0.1 * rng.randn(3, 3, 3, 64).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    b = jnp.asarray(rng.randn(64).astype(np.float32)).astype(jnp.bfloat16)
+    try:
+        f = jax.jit(lambda x, w, b: _conv1_fused(x, w, b, False))
+        y = np.asarray(f(x, w, b))
+    except Exception as e:  # noqa: BLE001
+        return "conv1_kernel 480x640", f"FAIL {type(e).__name__}: " + str(
+            e
+        ).split("\n")[0][:110]
+    ref = np.asarray(jax.jit(_xla_path)(x, w, b), dtype=np.float32)
+    err = float(np.abs(ref - y.astype(np.float32)).max())
+
+    def bench(fn):
+        np.asarray(fn(x, w, b))
+        t0 = time.perf_counter()
+        pending = [fn(x, w, b) for _ in range(8)]
+        for p in pending:
+            np.asarray(p)
+        return (time.perf_counter() - t0) / 8
+
+    tk = bench(f)
+    tx = bench(jax.jit(_xla_path))
+    return (
+        "conv1_kernel 480x640",
+        f"OK err={err:.3g} pallas={tk * 1e3:.2f}ms xla={tx * 1e3:.2f}ms",
+    )
+
+
+def main():
+    print(f"backend: {jax.default_backend()}", flush=True)
+    results = [
+        probe_concat(3, 9),
+        probe_concat(64, 9),
+        probe_sublane_offsets(),
+        probe_sublane_stride2(),
+        probe_k3_dot(),
+        probe_conv1_kernel(),
+    ]
+    for name, status in results:
+        print(f"  {name:36s} {status}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
