@@ -65,6 +65,9 @@ def main():
     p.add_argument("--resume", type=str, default="")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 backbone compute")
+    p.add_argument("--device-jitter", action="store_true",
+                   help="run ColorJitter on the TPU inside the train step "
+                        "(host pipeline only decodes + resizes)")
     p.add_argument("--n-devices", type=int, default=None)
     args = p.parse_args()
 
@@ -86,6 +89,7 @@ def main():
         logs_dir=args.logs_dir, init_dir=args.init_dir, resume=args.resume,
         print_freq=args.print_freq,
         compute_dtype="bfloat16" if args.bf16 else "float32",
+        device_jitter=args.device_jitter,
     )
     sys.stdout = Logger(osp.join(cfg.logs_dir, "log.txt"))
     print(f"config: {cfg}")

@@ -65,6 +65,9 @@ def main():
     p.add_argument("--eval-step", type=int, default=1)
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 backbone compute")
+    p.add_argument("--device-jitter", action="store_true",
+                   help="run ColorJitter on the TPU inside the train step "
+                        "(host pipeline only decodes + resizes)")
     p.add_argument("--seed", type=int, default=43)
     p.add_argument("--print-freq", type=int, default=10)
     p.add_argument("--resume", type=str, default="")
@@ -94,6 +97,7 @@ def main():
         init_dir=args.init_dir, print_freq=args.print_freq,
         resume=args.resume,
         compute_dtype="bfloat16" if args.bf16 else "float32",
+        device_jitter=args.device_jitter,
     )
     sys.stdout = Logger(osp.join(cfg.logs_dir, "log.txt"))
     print(f"config: {cfg}")

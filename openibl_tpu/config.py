@@ -51,6 +51,8 @@ class TrainConfig:
     print_freq: int = 10
     compute_dtype: str = "float32"  # or "bfloat16"
     remat: bool = False  # rematerialize backbone activations in backward
+    device_jitter: bool = False  # ColorJitter on device (ops/augment.py)
+    # instead of host PIL — same distribution, frees few-core TPU hosts
 
     @property
     def margin(self):

@@ -154,8 +154,11 @@ def eval_view(model):
 def make_sources(cfg, dataset):
     # uint8 images, mean subtraction on device: 4x less H2D traffic.
     # The jitter stream is seeded (and re-seeded per subset in the training
-    # loops) so runs are reproducible and resumes bit-faithful.
+    # loops) so runs are reproducible and resumes bit-faithful. With
+    # device_jitter the host pipeline skips PIL jitter entirely — the train
+    # step augments on the chip (ops/augment.py).
     train_tf = TrainTransform(cfg.data.height, cfg.data.width,
+                              jitter=not getattr(cfg, "device_jitter", False),
                               device_normalize=True, seed=cfg.seed)
     test_tf = TestTransform(cfg.data.height, cfg.data.width,
                             device_normalize=True)
@@ -200,6 +203,7 @@ def run_baseline_training(cfg, mesh=None, verbose=True):
         momentum=cfg.momentum, weight_decay=cfg.weight_decay, mesh=mesh,
         use_pool_feature=not getattr(cfg, "use_vlad", True),
         remat=getattr(cfg, "remat", False),
+        device_jitter=getattr(cfg, "device_jitter", False),
     )
     trainer.check_batch_shape(cfg.tuple_size)
     opt_state = trainer.init(params)
@@ -251,9 +255,12 @@ def run_baseline_training(cfg, mesh=None, verbose=True):
             sources["tuple"].transform.reseed(cfg.seed, epoch, subid)
             loader = TupleLoader(sources["tuple"], tuples, cfg.tuple_size,
                                  prefetch=pf)
+            jitter_key = jax.random.fold_in(
+                jax.random.fold_in(jax.random.PRNGKey(cfg.seed), epoch), subid
+            )
             params, opt_state, avg_loss = trainer.train_epoch(
                 params, opt_state, loader, print_freq=cfg.print_freq,
-                log_prefix=f"Epoch [{epoch}-{subid}]",
+                log_prefix=f"Epoch [{epoch}-{subid}]", rng_key=jitter_key,
             )
             if verbose:
                 print(f"Epoch [{epoch}-{subid}] avg loss {avg_loss:.4f}")
@@ -355,6 +362,7 @@ def run_sfrs_training(cfg, mesh=None, verbose=True):
         neg_num=cfg.neg_num, lr=cfg.lr, momentum=cfg.momentum,
         weight_decay=cfg.weight_decay, mesh=mesh,
         remat=getattr(cfg, "remat", False),
+        device_jitter=getattr(cfg, "device_jitter", False),
     )
 
     trainer.check_batch_shape(cfg.tuple_size)
@@ -463,10 +471,14 @@ def run_sfrs_training(cfg, mesh=None, verbose=True):
                 sources["tuple"].transform.reseed(cfg.seed, gen, epoch, subid)
                 loader = TupleLoader(sources["tuple"], tuples, cfg.tuple_size,
                                      prefetch=pf)
+                jitter_key = jax.random.fold_in(jax.random.fold_in(
+                    jax.random.fold_in(jax.random.PRNGKey(cfg.seed), gen),
+                    epoch), subid)
                 params, opt_state, (lh, ls) = trainer.train_epoch(
                     params, teacher, opt_state, loader, gen,
                     print_freq=cfg.print_freq,
                     log_prefix=f"Gen {gen} Epoch [{epoch}-{subid}]",
+                    rng_key=jitter_key,
                 )
                 if verbose:
                     print(f"Gen {gen} Epoch [{epoch}-{subid}] "

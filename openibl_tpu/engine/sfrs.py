@@ -30,9 +30,15 @@ class SFRSTrainer:
     def __init__(self, model, loss_type="sare_ind", margin=np.sqrt(0.1),
                  temps=DEFAULT_TEMPS, soft_weight=0.5, neg_num=10,
                  lr=1e-3, momentum=0.9, weight_decay=1e-3, mesh=None,
-                 remat=False):
+                 remat=False, device_jitter=False,
+                 jitter_params=(0.7, 0.7, 0.7, 0.5)):
         self.model = model  # EmbedRegionNet
         self.remat = remat
+        # on-device ColorJitter: the step takes the RAW (T, 2+neg+pos) tuple
+        # plus a key, jitters once, then splits — student and teacher see the
+        # same augmented pixels, like the reference's loader-jittered tensors
+        self.device_jitter = device_jitter
+        self.jitter_params = tuple(jitter_params)
         self.loss_type = loss_type
         self.margin = float(margin)
         self.temps = tuple(temps)
@@ -100,21 +106,43 @@ class SFRSTrainer:
         return loss_hard + lambda_soft * loss_soft, (loss_hard, loss_soft)
 
     def _build_step(self, gen, lambda_soft):
-        def step(params, teacher_params, opt_state, easy, diff):
-            (loss, (lh, ls)), grads = jax.value_and_grad(
-                self._loss_fn, has_aux=True
-            )(params, teacher_params, easy, diff, gen, lambda_soft)
-            updates, opt_state = self.tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return params, opt_state, lh, ls
+        if self.device_jitter:
+            from openibl_tpu.engine.trainer import device_jitter_batch
+
+            def step(params, teacher_params, opt_state, images, key):
+                t = images.shape[0]
+                flat = images.reshape((-1,) + images.shape[2:])
+                jit_imgs = device_jitter_batch(flat, key, self.jitter_params)
+                images = jit_imgs.reshape(
+                    (t, -1) + jit_imgs.shape[1:]
+                )
+                easy, diff = self.split_tuple_images(images)
+                (loss, (lh, ls)), grads = jax.value_and_grad(
+                    self._loss_fn, has_aux=True
+                )(params, teacher_params, easy, diff, gen, lambda_soft)
+                updates, opt_state = self.tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return params, opt_state, lh, ls
+        else:
+            def step(params, teacher_params, opt_state, easy, diff):
+                (loss, (lh, ls)), grads = jax.value_and_grad(
+                    self._loss_fn, has_aux=True
+                )(params, teacher_params, easy, diff, gen, lambda_soft)
+                updates, opt_state = self.tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return params, opt_state, lh, ls
 
         if self.mesh is None:
             return jax.jit(step, donate_argnums=(0, 2))
         rep = replicated(self.mesh)
         ds = data_sharding(self.mesh, 5)
+        in_shardings = (
+            (rep, rep, rep, ds, rep) if self.device_jitter
+            else (rep, rep, rep, ds, ds)
+        )
         return jax.jit(
             step,
-            in_shardings=(rep, rep, rep, ds, ds),
+            in_shardings=in_shardings,
             out_shardings=(rep, rep, rep, rep),
             donate_argnums=(0, 2),
         )
@@ -149,18 +177,26 @@ class SFRSTrainer:
         return easy, diff
 
     def train_epoch(self, params, teacher_params, opt_state, tuple_loader,
-                    gen, print_freq=10, log_prefix=""):
+                    gen, print_freq=10, log_prefix="", rng_key=None):
         from openibl_tpu.utils import AverageMeter
         import time
 
+        if self.device_jitter and rng_key is None:
+            raise ValueError("device_jitter training needs rng_key")
         step = self.step_fn(gen)
         l_hard, l_soft, batch_time = AverageMeter(), AverageMeter(), AverageMeter()
         end = time.time()
         for i, images in enumerate(tuple_loader):
-            easy, diff = self.split_tuple_images(jnp.asarray(images))
-            params, opt_state, lh, ls = step(
-                params, teacher_params, opt_state, easy, diff
-            )
+            if self.device_jitter:
+                params, opt_state, lh, ls = step(
+                    params, teacher_params, opt_state, jnp.asarray(images),
+                    jax.random.fold_in(rng_key, i),
+                )
+            else:
+                easy, diff = self.split_tuple_images(jnp.asarray(images))
+                params, opt_state, lh, ls = step(
+                    params, teacher_params, opt_state, easy, diff
+                )
             l_hard.update(float(lh))
             l_soft.update(float(ls))
             batch_time.update(time.time() - end)

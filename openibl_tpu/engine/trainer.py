@@ -22,6 +22,19 @@ from openibl_tpu.ops.losses import tuple_loss
 from openibl_tpu.parallel.mesh import data_sharding, replicated
 
 
+def device_jitter_batch(images, key, jitter_params=(0.7, 0.7, 0.7, 0.5)):
+    """(B, H, W, 3) raw 0..255 pixels → on-chip ColorJitter + mean
+    subtraction; output is normalized float32 ready for the model's float
+    path (the uint8 path's normalization happens in vgg16_apply instead)."""
+    from openibl_tpu.data.transforms import PIXEL_MEAN
+    from openibl_tpu.ops.augment import color_jitter_batch
+
+    b, c, s, h = jitter_params
+    out = color_jitter_batch(images, key, brightness=b, contrast=c,
+                             saturation=s, hue=h)
+    return out - jnp.asarray(PIXEL_MEAN, jnp.float32)
+
+
 def make_optimizer(lr, momentum=0.9, weight_decay=1e-3, trainable_mask=None):
     """SGD matching torch.optim.SGD(lr, momentum, weight_decay): L2 penalty
     added to the gradient BEFORE the momentum buffer (netvlad_img.py:164-166).
@@ -79,7 +92,8 @@ class Trainer:
 
     def __init__(self, model, loss_type="triplet", margin=np.sqrt(0.1),
                  lr=1e-3, momentum=0.9, weight_decay=1e-3, mesh=None,
-                 use_pool_feature=False, remat=False):
+                 use_pool_feature=False, remat=False, device_jitter=False,
+                 jitter_params=(0.7, 0.7, 0.7, 0.5)):
         self.model = model
         self.loss_type = loss_type
         self.margin = float(margin)
@@ -88,6 +102,10 @@ class Trainer:
         # rematerialize the backbone forward in the backward pass: trades
         # ~1/3 more FLOPs for activation memory -> larger tuple batches
         self.remat = remat
+        # on-device ColorJitter (ops/augment.py): the loader then feeds raw
+        # resized uint8 and the step augments + normalizes on the chip
+        self.device_jitter = device_jitter
+        self.jitter_params = tuple(jitter_params)
         self.base_lr = lr
         self._tx_factory = lambda mask: make_optimizer(
             lr, momentum, weight_decay, mask
@@ -112,9 +130,11 @@ class Trainer:
                 f"size ({self.mesh.size}) for data-parallel sharding"
             )
 
-    def _loss_fn(self, params, images):
+    def _loss_fn(self, params, images, jitter_key=None):
         t, g = images.shape[:2]
         flat = images.reshape((t * g,) + images.shape[2:])
+        if jitter_key is not None:
+            flat = device_jitter_batch(flat, jitter_key, self.jitter_params)
         apply = self.model.apply
         if self.remat:
             apply = jax.checkpoint(apply)
@@ -127,28 +147,47 @@ class Trainer:
         return tuple_loss(desc, self.loss_type, self.margin)
 
     def _build_step(self):
-        def step(params, opt_state, images):
-            loss, grads = jax.value_and_grad(self._loss_fn)(params, images)
-            updates, opt_state = self.tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return params, opt_state, loss
+        if self.device_jitter:
+            def step(params, opt_state, images, key):
+                loss, grads = jax.value_and_grad(self._loss_fn)(
+                    params, images, jitter_key=key
+                )
+                updates, opt_state = self.tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return params, opt_state, loss
+        else:
+            def step(params, opt_state, images):
+                loss, grads = jax.value_and_grad(self._loss_fn)(params, images)
+                updates, opt_state = self.tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return params, opt_state, loss
 
         if self.mesh is None:
             return jax.jit(step, donate_argnums=(0, 1))
         rep = replicated(self.mesh)
+        batch = data_sharding(self.mesh, 5)
+        in_shardings = (
+            (rep, rep, batch, rep) if self.device_jitter else (rep, rep, batch)
+        )
         return jax.jit(
             step,
-            in_shardings=(rep, rep, data_sharding(self.mesh, 5)),
+            in_shardings=in_shardings,
             out_shardings=(rep, rep, rep),
             donate_argnums=(0, 1),
         )
 
-    def step(self, params, opt_state, images):
+    def step(self, params, opt_state, images, key=None):
         """One jitted update on a tuple batch (T, 2+neg, H, W, 3).
 
-        Returns (params, opt_state, loss). params/opt_state are donated."""
+        With ``device_jitter`` the batch is raw resized pixels and ``key``
+        drives the on-chip augmentation. Returns (params, opt_state, loss);
+        params/opt_state are donated."""
         if self._step is None:
             raise RuntimeError("call init(params) before step()")
+        if self.device_jitter:
+            if key is None:
+                raise ValueError("device_jitter trainer needs a PRNG key")
+            return self._step(params, opt_state, images, key)
         return self._step(params, opt_state, images)
 
     def set_epoch_lr(self, opt_state, epoch, step_size, gamma=0.5):
@@ -157,17 +196,29 @@ class Trainer:
         )
 
     def train_epoch(self, params, opt_state, tuple_loader, print_freq=10,
-                    log_prefix=""):
-        """One pass over the mined tuples. Returns (params, opt_state, avg)."""
+                    log_prefix="", rng_key=None):
+        """One pass over the mined tuples. Returns (params, opt_state, avg).
+
+        ``rng_key`` (required with device_jitter) seeds the per-step
+        augmentation stream — fold it from (seed, epoch, subset) for
+        reproducible, resume-faithful jitter."""
         from openibl_tpu.utils import AverageMeter
         import time
 
+        if self.device_jitter and rng_key is None:
+            raise ValueError("device_jitter training needs rng_key")
         losses, batch_time = AverageMeter(), AverageMeter()
         end = time.time()
         for i, images in enumerate(tuple_loader):
-            params, opt_state, loss = self._step(
-                params, opt_state, jnp.asarray(images)
-            )
+            if self.device_jitter:
+                params, opt_state, loss = self._step(
+                    params, opt_state, jnp.asarray(images),
+                    jax.random.fold_in(rng_key, i),
+                )
+            else:
+                params, opt_state, loss = self._step(
+                    params, opt_state, jnp.asarray(images)
+                )
             losses.update(float(loss))
             batch_time.update(time.time() - end)
             end = time.time()

@@ -117,6 +117,16 @@ class TestReferenceFlagKnobs:
         assert seen and all(n == 1 for n in seen), seen
         assert len(recalls) == 3  # nowhiten PCA still evaluates
 
+    def test_device_jitter_training(self, tmp_path):
+        """Full baseline loop with on-chip augmentation: the tuple loader
+        feeds raw resized uint8 and the step jitters on device."""
+        cfg = _cfg(tmp_path, device_jitter=True)
+        params, recalls, history = pipeline.run_baseline_training(
+            cfg, verbose=False
+        )
+        assert len(recalls) == 3
+        assert history, "no eval ran"
+
     def test_eval_pool_feature(self, tmp_path):
         """--no-vlad evaluation retrieves on the 512-d max-pool feature
         (reference test.py vlad=False plumbing)."""
