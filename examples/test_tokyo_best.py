@@ -17,10 +17,13 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--weights", type=str, required=True)
     p.add_argument("--data-dir", type=str, default="data")
+    p.add_argument("--height", type=int, default=480)
+    p.add_argument("--width", type=int, default=640)
     p.add_argument("--test-batch-size", type=int, default=32)
     args = p.parse_args()
     run("tokyo", args.weights, args.data_dir, nms=True,
-        batch_size=args.test_batch_size)
+        batch_size=args.test_batch_size, height=args.height,
+        width=args.width)
 
 
 if __name__ == "__main__":
