@@ -41,6 +41,17 @@ from openibl_tpu.utils.watchdog import Watchdog
 _WATCHDOG = Watchdog(warn_after=600.0)
 
 
+def _apply_iters_cap(tuples, iters, tuple_size):
+    """Reference --iters semantics: exactly ``iters`` train iterations per
+    subset. IterLoader cycles its loader on exhaustion (ibl/utils/data/
+    __init__.py:8-27), so a short tuple list repeats, not truncates."""
+    if iters <= 0 or not tuples:
+        return tuples
+    need = iters * tuple_size
+    reps = -(-need // len(tuples))  # ceil
+    return (list(tuples) * reps)[:need]
+
+
 # ---------------------------------------------------------------------------
 # setup helpers
 # ---------------------------------------------------------------------------
@@ -81,7 +92,8 @@ def bootstrap_centroids(cfg, dataset, base_model, base_params,
         lambda p, x: base_model.apply(p, x)[1]  # conv5 feature map
     )
     descs = []
-    for images, _, count in BatchLoader(src, batch_size=cfg.data.test_batch_size):
+    for images, _, count in BatchLoader(src, batch_size=cfg.data.test_batch_size,
+                                        prefetch=cfg.data.workers):
         # f32 regardless of the backbone compute dtype: the centroid/alpha
         # bootstrap is on the fidelity-critical init path
         fmap = np.asarray(fwd(base_params, jnp.asarray(images)),
@@ -250,8 +262,8 @@ def run_baseline_training(cfg, mesh=None, verbose=True):
                     mesh=mesh, feature=feature,
                 )
             tuples = sampler.refresh(q_feats, g_feats, subset)
-            if getattr(cfg, "iters", 0) > 0:
-                tuples = tuples[: cfg.iters * cfg.tuple_size]
+            tuples = _apply_iters_cap(tuples, getattr(cfg, "iters", 0),
+                                      cfg.tuple_size)
             sources["tuple"].transform.reseed(cfg.seed, epoch, subid)
             loader = TupleLoader(sources["tuple"], tuples, cfg.tuple_size,
                                  prefetch=pf)
@@ -268,8 +280,8 @@ def run_baseline_training(cfg, mesh=None, verbose=True):
         if (epoch + 1) % cfg.eval_step == 0 or epoch == cfg.epochs - 1:
             recalls = evaluator.evaluate(
                 params,
-                BatchLoader(sources["q_val"], batch_size=bs),
-                BatchLoader(sources["db_val"], batch_size=bs),
+                BatchLoader(sources["q_val"], batch_size=bs, prefetch=pf),
+                BatchLoader(sources["db_val"], batch_size=bs, prefetch=pf),
                 dataset.val_pos,
             )
             history.append((epoch, recalls))
@@ -307,12 +319,15 @@ def finalize_with_pca(cfg, dataset, sources, model, params, mesh=None,
     feature = "vlad" if getattr(cfg, "use_vlad", True) else "pool"
     emodel = eval_view(model)
     bs = cfg.data.test_batch_size
+    pf = cfg.data.workers
     feats = np.concatenate([
         extract_features(emodel.apply, params,
-                         BatchLoader(sources["q_train"], batch_size=bs),
+                         BatchLoader(sources["q_train"], batch_size=bs,
+                                     prefetch=pf),
                          mesh=mesh, feature=feature),
         extract_features(emodel.apply, params,
-                         BatchLoader(sources["db_train"], batch_size=bs),
+                         BatchLoader(sources["db_train"], batch_size=bs,
+                                     prefetch=pf),
                          mesh=mesh, feature=feature),
     ])
     if len(feats) > 10000:
@@ -329,8 +344,8 @@ def finalize_with_pca(cfg, dataset, sources, model, params, mesh=None,
     evaluator = Evaluator(emodel.apply, mesh=mesh, feature=feature)
     return evaluator.evaluate(
         params,
-        BatchLoader(sources["q_test"], batch_size=bs),
-        BatchLoader(sources["db_test"], batch_size=bs),
+        BatchLoader(sources["q_test"], batch_size=bs, prefetch=pf),
+        BatchLoader(sources["db_test"], batch_size=bs, prefetch=pf),
         dataset.test_pos,
         gallery_pids=[it[1] for it in dataset.db_test],
         pca=pca,
@@ -466,8 +481,8 @@ def run_sfrs_training(cfg, mesh=None, verbose=True):
                     )
                 tuples = sampler.refresh(q_feats, g_feats, subset,
                                          jaccard_rows=jaccard_rows)
-                if getattr(cfg, "iters", 0) > 0:
-                    tuples = tuples[: cfg.iters * cfg.tuple_size]
+                tuples = _apply_iters_cap(tuples, getattr(cfg, "iters", 0),
+                                          cfg.tuple_size)
                 sources["tuple"].transform.reseed(cfg.seed, gen, epoch, subid)
                 loader = TupleLoader(sources["tuple"], tuples, cfg.tuple_size,
                                      prefetch=pf)
@@ -488,8 +503,8 @@ def run_sfrs_training(cfg, mesh=None, verbose=True):
                 continue  # eval/checkpoint cadence (netvlad_img_sfrs.py:210)
             recalls = evaluator.evaluate(
                 params,
-                BatchLoader(sources["q_val"], batch_size=bs),
-                BatchLoader(sources["db_val"], batch_size=bs),
+                BatchLoader(sources["q_val"], batch_size=bs, prefetch=pf),
+                BatchLoader(sources["db_val"], batch_size=bs, prefetch=pf),
                 dataset.val_pos,
             )
             is_best = recalls[1] > best_recall5
@@ -574,7 +589,8 @@ def run_eval(cfg, mesh=None, train_cfg=None, verbose=True):
                                             device_normalize=True))
             feats = extract_features(
                 model.apply, params,
-                BatchLoader(src, batch_size=cfg.data.test_batch_size),
+                BatchLoader(src, batch_size=cfg.data.test_batch_size,
+                            prefetch=cfg.data.workers),
                 mesh=mesh, feature=feature,
             )
             if len(feats) > 10000:

@@ -106,6 +106,14 @@ class SFRSTrainer:
         return loss_hard + lambda_soft * loss_soft, (loss_hard, loss_soft)
 
     def _build_step(self, gen, lambda_soft):
+        def update(params, teacher_params, opt_state, easy, diff):
+            (loss, (lh, ls)), grads = jax.value_and_grad(
+                self._loss_fn, has_aux=True
+            )(params, teacher_params, easy, diff, gen, lambda_soft)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, lh, ls
+
         if self.device_jitter:
             from openibl_tpu.engine.trainer import device_jitter_batch
 
@@ -113,24 +121,11 @@ class SFRSTrainer:
                 t = images.shape[0]
                 flat = images.reshape((-1,) + images.shape[2:])
                 jit_imgs = device_jitter_batch(flat, key, self.jitter_params)
-                images = jit_imgs.reshape(
-                    (t, -1) + jit_imgs.shape[1:]
-                )
+                images = jit_imgs.reshape((t, -1) + jit_imgs.shape[1:])
                 easy, diff = self.split_tuple_images(images)
-                (loss, (lh, ls)), grads = jax.value_and_grad(
-                    self._loss_fn, has_aux=True
-                )(params, teacher_params, easy, diff, gen, lambda_soft)
-                updates, opt_state = self.tx.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                return params, opt_state, lh, ls
+                return update(params, teacher_params, opt_state, easy, diff)
         else:
-            def step(params, teacher_params, opt_state, easy, diff):
-                (loss, (lh, ls)), grads = jax.value_and_grad(
-                    self._loss_fn, has_aux=True
-                )(params, teacher_params, easy, diff, gen, lambda_soft)
-                updates, opt_state = self.tx.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                return params, opt_state, lh, ls
+            step = update
 
         if self.mesh is None:
             return jax.jit(step, donate_argnums=(0, 2))

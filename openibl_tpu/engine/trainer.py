@@ -147,20 +147,19 @@ class Trainer:
         return tuple_loss(desc, self.loss_type, self.margin)
 
     def _build_step(self):
+        def update(params, opt_state, images, key=None):
+            loss, grads = jax.value_and_grad(self._loss_fn)(
+                params, images, jitter_key=key
+            )
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
         if self.device_jitter:
-            def step(params, opt_state, images, key):
-                loss, grads = jax.value_and_grad(self._loss_fn)(
-                    params, images, jitter_key=key
-                )
-                updates, opt_state = self.tx.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                return params, opt_state, loss
+            step = update  # (params, opt_state, images, key)
         else:
             def step(params, opt_state, images):
-                loss, grads = jax.value_and_grad(self._loss_fn)(params, images)
-                updates, opt_state = self.tx.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                return params, opt_state, loss
+                return update(params, opt_state, images)
 
         if self.mesh is None:
             return jax.jit(step, donate_argnums=(0, 1))

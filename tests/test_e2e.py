@@ -110,11 +110,13 @@ class TestReferenceFlagKnobs:
             return real_loader(source, tuples, tuple_size, **kw)
 
         monkeypatch.setattr(pipeline, "TupleLoader", spy)
-        cfg = _cfg(tmp_path, iters=1, whiten=False)
+        # subsets mine at most cache_size (4) tuples; iters=6 must CYCLE the
+        # short list to exactly 6 (IterLoader restart semantics), not truncate
+        cfg = _cfg(tmp_path, iters=6, whiten=False)
         params, recalls, history = pipeline.run_baseline_training(
             cfg, verbose=False
         )
-        assert seen and all(n == 1 for n in seen), seen
+        assert seen and all(n == 6 for n in seen), seen
         assert len(recalls) == 3  # nowhiten PCA still evaluates
 
     def test_device_jitter_training(self, tmp_path):

@@ -92,3 +92,40 @@ class TestFusedModels:
         np.testing.assert_allclose(
             np.asarray(d_fused), np.asarray(d_plain), rtol=1e-4, atol=1e-5
         )
+
+
+class TestConv1Kernel:
+    """Experimental conv1_1 im2col kernel (ops/conv1_kernel.py) — interpret
+    mode; real-MXU lowering is probed by scripts/mosaic_probe.py."""
+
+    def test_matches_xla_fwd_and_grad(self):
+        from openibl_tpu.ops.conv1_kernel import conv1_relu, _xla_path
+
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(2, 48, 64, 3).astype(np.float32))
+        w = jnp.asarray(rng.randn(3, 3, 3, 64).astype(np.float32) * 0.1)
+        b = jnp.asarray(rng.randn(64).astype(np.float32))
+        ref = _xla_path(x, w, b)
+        got = conv1_relu(x, w, b, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5)
+        g1 = jax.grad(lambda *a: conv1_relu(*a, interpret=True).sum(),
+                      argnums=(0, 1, 2))(x, w, b)
+        g2 = jax.grad(lambda *a: _xla_path(*a).sum(), argnums=(0, 1, 2))(
+            x, w, b)
+        for a, bb in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                       atol=1e-5)
+
+    def test_cpu_falls_back_to_xla(self):
+        from openibl_tpu.ops.conv1_kernel import conv1_relu, _xla_path
+
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.randn(1, 16, 24, 3).astype(np.float32))
+        w = jnp.asarray(rng.randn(3, 3, 3, 8).astype(np.float32))
+        b = jnp.zeros((8,), jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(conv1_relu(x, w, b)),  # off-TPU default: XLA path
+            np.asarray(_xla_path(x, w, b)),
+            atol=1e-6,
+        )
