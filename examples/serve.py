@@ -1,0 +1,86 @@
+"""HTTP retrieval server over a descriptor index (stdlib only).
+
+Wraps openibl_tpu.serving.RetrievalService: model warm, index HBM-resident.
+
+  python examples/index_and_query.py build gallery/ index.npz --weights w.pth
+  python examples/serve.py index.npz --weights w.pth --port 8080
+
+  GET  /healthz            -> {"ok": true, "index_size": N}
+  POST /query?topk=5       -> body = image bytes (jpeg/png/...);
+                              response = JSON match list
+"""
+
+import argparse
+import io
+import json
+import os.path as osp
+import sys
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), ".."))
+
+
+def make_handler(service):
+    class Handler(BaseHTTPRequestHandler):
+        def _json(self, code, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if urlparse(self.path).path == "/healthz":
+                return self._json(
+                    200, {"ok": True, "index_size": service.index_size}
+                )
+            return self._json(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            url = urlparse(self.path)
+            if url.path != "/query":
+                return self._json(404, {"error": "unknown path"})
+            try:
+                topk = int(parse_qs(url.query).get("topk", ["10"])[0])
+                length = int(self.headers.get("Content-Length", 0))
+                from PIL import Image
+
+                img = Image.open(io.BytesIO(self.rfile.read(length)))
+                matches = service.query([img], topk=topk)[0]
+            except Exception as e:  # noqa: BLE001 - report to the client
+                return self._json(400, {"error": f"{type(e).__name__}: {e}"})
+            return self._json(200, {"matches": matches})
+
+        def log_message(self, fmt, *args):  # quiet default access log
+            pass
+
+    return Handler
+
+
+def main():
+    p = argparse.ArgumentParser(description="retrieval HTTP server (TPU)")
+    p.add_argument("index", help="index .npz from index_and_query.py build")
+    p.add_argument("--weights", type=str, default=None)
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--height", type=int, default=480)
+    p.add_argument("--width", type=int, default=640)
+    args = p.parse_args()
+
+    from openibl_tpu.serving import RetrievalService
+
+    service = RetrievalService(args.index, weights=args.weights,
+                               height=args.height, width=args.width)
+    print(f"warming {len(service.buckets)} batch buckets over "
+          f"{service.index_size}-image index ...")
+    service.warmup()
+    server = ThreadingHTTPServer((args.host, args.port), make_handler(service))
+    print(f"serving on http://{args.host}:{args.port}  (POST /query, "
+          f"GET /healthz)")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

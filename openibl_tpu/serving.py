@@ -1,0 +1,124 @@
+"""Long-lived retrieval service: warm model + HBM-resident descriptor index.
+
+The serving-shaped composition of the framework (the reference ships only
+batch scripts; its hub model, /root/reference/hubconf.py:5-11, is the
+per-image API this wraps for production use):
+
+  * the EmbedNetPCA descriptor model stays compiled and warm;
+  * the gallery index (descriptors + payload paths) lives in HBM across
+    requests — queries never re-transfer it;
+  * requests are padded to a small set of batch-size buckets so any request
+    size reuses one of a few compiled programs (no per-size recompiles);
+  * retrieval is the streaming/full-auto top-k used everywhere else
+    (ops/distance.py), so million-image indexes work without a Q x G matrix.
+
+Kept framework-level (no HTTP): examples/serve.py wraps it in a stdlib
+HTTP server; embedders can call it directly.
+"""
+
+import threading
+
+import numpy as np
+
+_BATCH_BUCKETS = (1, 4, 16)
+
+
+class RetrievalService:
+    """Thread-safe query service over a fixed descriptor index.
+
+    Args:
+      index: path to an ``index_and_query.py build`` .npz (descriptors +
+        paths), or a dict with "descriptors" (N, D) and optional "paths".
+      weights: released .pth / our .npz checkpoint for the descriptor model
+        (None = random init, for tests).
+      height/width: model input resolution (the hub contract is 480x640).
+    """
+
+    def __init__(self, index, weights=None, height=480, width=640,
+                 batch_buckets=_BATCH_BUCKETS):
+        import jax
+        import jax.numpy as jnp
+
+        from openibl_tpu.hub import vgg16_netvlad
+        from openibl_tpu.ops.distance import topk_nearest
+
+        if isinstance(index, (str, bytes)):
+            data = np.load(index, allow_pickle=False)
+            index = {k: data[k] for k in data.files}
+        self.paths = [str(p) for p in index.get("paths", [])]
+        gallery = np.ascontiguousarray(index["descriptors"], np.float32)
+        self._gallery = jnp.asarray(gallery)  # HBM-resident across requests
+        self.index_size = gallery.shape[0]
+        self.height, self.width = height, width
+        self.buckets = tuple(sorted(batch_buckets))
+        self._model, self._params = vgg16_netvlad(weights)
+        self._lock = threading.Lock()  # serialize device work per process
+
+        def run(params, images, gallery, k):
+            desc = self._model.apply(params, images)
+            return topk_nearest(desc, gallery, k=k)
+
+        self._run = jax.jit(run, static_argnames=("k",))
+
+    def warmup(self, topk=10):
+        """Compile every bucket up front so first requests aren't slow."""
+        for b in self.buckets:
+            z = np.zeros((b, self.height, self.width, 3), np.uint8)
+            d, i = self._run(self._params, z, self._gallery,
+                             min(topk, self.index_size))
+            np.asarray(i)
+
+    def _preprocess(self, images):
+        from PIL import Image
+
+        from openibl_tpu.data.transforms import resize
+
+        out = []
+        for img in images:
+            if isinstance(img, Image.Image):
+                img = np.asarray(
+                    resize(img.convert("RGB"), self.height, self.width),
+                    np.uint8,
+                )
+            img = np.asarray(img)
+            if img.shape != (self.height, self.width, 3):
+                raise ValueError(
+                    f"image shape {img.shape} != "
+                    f"({self.height}, {self.width}, 3); pass PIL images for "
+                    f"automatic resizing"
+                )
+            out.append(img.astype(np.uint8))
+        return np.stack(out)
+
+    def query(self, images, topk=10):
+        """images: list of PIL images or (H, W, 3) uint8 arrays.
+
+        Returns a list (one per image) of match lists
+        ``[{"rank", "index", "sq_dist", "path"?}, ...]``.
+        """
+        batch = self._preprocess(images)
+        n = batch.shape[0]
+        bucket = next((b for b in self.buckets if b >= n), None)
+        if bucket is None:  # larger than the biggest bucket: chunk it
+            results = []
+            step = self.buckets[-1]
+            for s in range(0, n, step):
+                results.extend(self.query(list(batch[s : s + step]), topk))
+            return results
+        if bucket > n:  # pad to the bucket's compiled shape
+            pad = np.zeros((bucket - n,) + batch.shape[1:], np.uint8)
+            batch = np.concatenate([batch, pad])
+        k = min(topk, self.index_size)
+        with self._lock:
+            d, idx = self._run(self._params, batch, self._gallery, k)
+            d, idx = np.asarray(d)[:n], np.asarray(idx)[:n]
+        out = []
+        for row_d, row_i in zip(d, idx):
+            matches = []
+            for rank, (i, dist) in enumerate(zip(row_i, row_d), 1):
+                m = {"rank": rank, "index": int(i), "sq_dist": float(dist)}
+                if self.paths:
+                    m["path"] = self.paths[int(i)]
+                matches.append(m)
+            out.append(matches)
+        return out

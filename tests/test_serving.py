@@ -1,0 +1,116 @@
+"""RetrievalService + HTTP server round-trip (tiny shapes, random weights)."""
+
+import io
+import json
+import os.path as osp
+import sys
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from openibl_tpu.serving import RetrievalService
+
+EXAMPLES = osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
+                    "examples")
+
+
+@pytest.fixture(scope="module")
+def service():
+    rng = np.random.RandomState(0)
+    gallery = rng.randn(32, 4096).astype(np.float32)
+    gallery /= np.linalg.norm(gallery, axis=1, keepdims=True)
+    svc = RetrievalService(
+        {"descriptors": gallery,
+         "paths": np.array([f"img_{i}.jpg" for i in range(32)])},
+        weights=None, height=32, width=48, batch_buckets=(1, 2),
+    )
+    svc.warmup(topk=5)
+    return svc
+
+
+class TestRetrievalService:
+    def test_query_pil_and_array(self, service):
+        rng = np.random.RandomState(1)
+        pil = Image.fromarray(
+            rng.randint(0, 256, (100, 80, 3), np.uint8)
+        )  # wrong size on purpose: service resizes PIL inputs
+        arr = rng.randint(0, 256, (32, 48, 3), np.uint8)
+        results = service.query([pil, arr], topk=5)
+        assert len(results) == 2
+        for matches in results:
+            assert len(matches) == 5
+            assert [m["rank"] for m in matches] == [1, 2, 3, 4, 5]
+            dists = [m["sq_dist"] for m in matches]
+            assert dists == sorted(dists)
+            assert all(m["path"].startswith("img_") for m in matches)
+
+    def test_deterministic(self, service):
+        arr = np.random.RandomState(2).randint(0, 256, (32, 48, 3), np.uint8)
+        a = service.query([arr], topk=3)[0]
+        b = service.query([arr], topk=3)[0]
+        assert a == b
+
+    def test_oversized_batch_chunks(self, service):
+        rng = np.random.RandomState(3)
+        imgs = [rng.randint(0, 256, (32, 48, 3), np.uint8) for _ in range(5)]
+        results = service.query(imgs, topk=2)  # > max bucket (2): chunked
+        assert len(results) == 5
+
+    def test_raw_array_wrong_shape_rejected(self, service):
+        with pytest.raises(ValueError, match="shape"):
+            service.query([np.zeros((8, 8, 3), np.uint8)])
+
+    def test_index_from_file(self, tmp_path):
+        rng = np.random.RandomState(4)
+        path = str(tmp_path / "index.npz")
+        np.savez(path, descriptors=rng.randn(4, 4096).astype(np.float32))
+        svc = RetrievalService(path, height=32, width=48, batch_buckets=(1,))
+        out = svc.query([np.zeros((32, 48, 3), np.uint8)], topk=10)[0]
+        assert len(out) == 4  # topk clamps to index size
+        assert "path" not in out[0]  # no payloads in this index
+
+
+class TestHTTPServer:
+    def test_round_trip(self, service):
+        sys.path.insert(0, EXAMPLES)
+        from serve import make_handler
+        from http.server import ThreadingHTTPServer
+
+        server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+        port = server.server_address[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=30
+            ) as r:
+                health = json.loads(r.read())
+            assert health == {"ok": True, "index_size": 32}
+
+            img = Image.fromarray(np.random.RandomState(5).randint(
+                0, 256, (32, 48, 3), np.uint8))
+            buf = io.BytesIO()
+            img.save(buf, format="PNG")
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/query?topk=3", data=buf.getvalue(),
+                method="POST",
+            )
+            with urllib.request.urlopen(req, timeout=60) as r:
+                out = json.loads(r.read())
+            assert len(out["matches"]) == 3
+            assert out["matches"][0]["rank"] == 1
+
+            # bad request: not an image
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/query", data=b"not an image",
+                method="POST",
+            )
+            with pytest.raises(urllib.error.HTTPError) as exc:
+                urllib.request.urlopen(req, timeout=30)
+            assert exc.value.code == 400
+        finally:
+            server.shutdown()
+            server.server_close()
