@@ -67,12 +67,20 @@ def main():
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--height", type=int, default=480)
     p.add_argument("--width", type=int, default=640)
+    p.add_argument("--n-devices", type=int, default=0,
+                   help=">0 shards the index over a data mesh of that size")
     args = p.parse_args()
 
     from openibl_tpu.serving import RetrievalService
 
+    mesh = None
+    if args.n_devices:
+        from openibl_tpu.parallel.mesh import get_mesh
+
+        mesh = get_mesh(args.n_devices)
     service = RetrievalService(args.index, weights=args.weights,
-                               height=args.height, width=args.width)
+                               height=args.height, width=args.width,
+                               mesh=mesh)
     print(f"warming {len(service.buckets)} batch buckets over "
           f"{service.index_size}-image index ...")
     service.warmup()

@@ -35,30 +35,73 @@ class RetrievalService:
     """
 
     def __init__(self, index, weights=None, height=480, width=640,
-                 batch_buckets=_BATCH_BUCKETS):
+                 batch_buckets=_BATCH_BUCKETS, mesh=None):
         import jax
         import jax.numpy as jnp
 
         from openibl_tpu.hub import vgg16_netvlad
-        from openibl_tpu.ops.distance import topk_nearest
+        from openibl_tpu.ops.distance import topk_nearest, topk_nearest_sharded
 
         if isinstance(index, (str, bytes)):
             data = np.load(index, allow_pickle=False)
             index = {k: data[k] for k in data.files}
         self.paths = [str(p) for p in index.get("paths", [])]
         gallery = np.ascontiguousarray(index["descriptors"], np.float32)
-        self._gallery = jnp.asarray(gallery)  # HBM-resident across requests
         self.index_size = gallery.shape[0]
         self.height, self.width = height, width
         self.buckets = tuple(sorted(batch_buckets))
         self._model, self._params = vgg16_netvlad(weights)
         self._lock = threading.Lock()  # serialize device work per process
+        self.mesh = mesh
 
-        def run(params, images, gallery, k):
-            desc = self._model.apply(params, images)
-            return topk_nearest(desc, gallery, k=k)
+        if mesh is not None:
+            # shard the index over the mesh's data axis; zero-pad to a
+            # divisible size (zero rows rank last for L2-normalized queries
+            # only by luck, so mask them by index instead at merge time —
+            # topk_nearest_sharded returns global indices, and padded rows
+            # get sq-dist vs a zero vector = ||q||^2, which CAN beat real
+            # matches; clamp k to the true size and drop padded ids)
+            from openibl_tpu.parallel.mesh import data_sharding
 
-        self._run = jax.jit(run, static_argnames=("k",))
+            n_dev = mesh.shape["data"]
+            pad = (-gallery.shape[0]) % n_dev
+            if pad:
+                gallery = np.concatenate(
+                    [gallery, np.zeros((pad, gallery.shape[1]), np.float32)]
+                )
+            self._gallery = jax.device_put(
+                jnp.asarray(gallery), data_sharding(mesh, 2)
+            )
+            fwd = jax.jit(self._model.apply)
+
+            def retrieve(desc, gallery, k):
+                # fetch enough candidates to survive dropping padded rows
+                d, i = topk_nearest_sharded(desc, gallery, mesh,
+                                            k=min(k + pad, gallery.shape[0]))
+                valid = i < self.index_size
+                d = jnp.where(valid, d, jnp.inf)
+                order = jnp.argsort(d, axis=1)[:, :k]
+                return (jnp.take_along_axis(d, order, axis=1),
+                        jnp.take_along_axis(i, order, axis=1))
+
+            retrieve = jax.jit(retrieve, static_argnames=("k",))
+
+            # two dispatches on purpose: fusing the conv forward into the
+            # shard_map jit makes GSPMD partition the forward too, which
+            # deadlocks small batches on a virtual CPU mesh; the (B, 4096)
+            # descriptor handoff between the jits is negligible
+            def run(params, images, gallery, k):
+                return retrieve(fwd(params, images), gallery, k=k)
+
+            self._run = run
+        else:
+            self._gallery = jnp.asarray(gallery)  # HBM-resident, one device
+
+            def run(params, images, gallery, k):
+                desc = self._model.apply(params, images)
+                return topk_nearest(desc, gallery, k=k)
+
+            self._run = jax.jit(run, static_argnames=("k",))
 
     def warmup(self, topk=10):
         """Compile every bucket up front so first requests aren't slow."""

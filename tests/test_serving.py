@@ -73,6 +73,31 @@ class TestRetrievalService:
         assert "path" not in out[0]  # no payloads in this index
 
 
+class TestMeshServing:
+    def test_sharded_index_matches_single_device(self):
+        """Same top-k from the mesh-sharded index (incl. a non-divisible
+        gallery size that forces zero-padding) as from one device."""
+        import jax
+
+        from openibl_tpu.parallel.mesh import get_mesh
+
+        rng = np.random.RandomState(7)
+        gallery = rng.randn(30, 4096).astype(np.float32)  # 30 % 8 != 0
+        img = rng.randint(0, 256, (32, 48, 3), np.uint8)
+        results = []
+        for mesh in (None, get_mesh(8)):
+            svc = RetrievalService(
+                {"descriptors": gallery}, height=32, width=48,
+                batch_buckets=(1,), mesh=mesh,
+            )
+            results.append(svc.query([img], topk=5)[0])
+        ids = [[m["index"] for m in r] for r in results]
+        assert ids[0] == ids[1]
+        d0 = np.array([m["sq_dist"] for m in results[0]])
+        d1 = np.array([m["sq_dist"] for m in results[1]])
+        np.testing.assert_allclose(d0, d1, rtol=1e-5, atol=1e-4)
+
+
 class TestHTTPServer:
     def test_round_trip(self, service):
         sys.path.insert(0, EXAMPLES)
