@@ -46,7 +46,27 @@ def main():
                         "train = SARE train-step tuples/sec (12 images each)")
     p.add_argument("--gallery-size", type=int, default=100_000)
     p.add_argument("--verbose", action="store_true")
+    p.add_argument("--max-seconds", type=int, default=1500,
+                   help="hard wall-clock cap: exit(3) instead of hanging "
+                        "when the TPU tunnel is degraded (backend init and "
+                        "transfers can block indefinitely)")
     args = p.parse_args()
+
+    if args.max_seconds > 0:
+        import os
+        import threading
+
+        def _deadline():
+            print(
+                f"bench exceeded --max-seconds={args.max_seconds} "
+                f"(degraded TPU tunnel?) — aborting without a result",
+                file=sys.stderr, flush=True,
+            )
+            os._exit(3)
+
+        t = threading.Timer(args.max_seconds, _deadline)
+        t.daemon = True
+        t.start()
 
     import jax
     import jax.numpy as jnp
