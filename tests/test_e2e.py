@@ -81,6 +81,22 @@ class TestSFRSE2E:
         assert len(recalls) == 3
         assert osp.isfile(osp.join(cfg.logs_dir, "checkpoint1_0.npz"))
 
+    def test_generation_with_device_jitter(self, tmp_path):
+        """SFRS pipeline with on-chip augmentation (gen0 path is enough to
+        exercise the raw-uint8 union-tuple step + key folding)."""
+        cfg = _cfg(
+            tmp_path, cls=SFRSConfig,
+            data=DataConfig(
+                dataset="synthetic", scale=None,
+                data_dir=str(tmp_path / "data"),
+                height=64, width=64, test_batch_size=8,
+            ),
+            generations=1, epochs=1, pos_num=2, pos_pool=3,
+            temperature=(0.07,), device_jitter=True,
+        )
+        params, recalls = pipeline.run_sfrs_training(cfg, verbose=False)
+        assert len(recalls) == 3
+
 
 class TestEvalEntry:
     def test_run_eval_on_checkpoint(self, tmp_path):
