@@ -42,7 +42,9 @@ class RetrievalService:
         from openibl_tpu.hub import vgg16_netvlad
         from openibl_tpu.ops.distance import topk_nearest, topk_nearest_sharded
 
-        if isinstance(index, (str, bytes)):
+        import os
+
+        if isinstance(index, (str, bytes, os.PathLike)):
             data = np.load(index, allow_pickle=False)
             index = {k: data[k] for k in data.files}
         self.paths = [str(p) for p in index.get("paths", [])]
@@ -69,9 +71,10 @@ class RetrievalService:
                 gallery = np.concatenate(
                     [gallery, np.zeros((pad, gallery.shape[1]), np.float32)]
                 )
-            self._gallery = jax.device_put(
-                jnp.asarray(gallery), data_sharding(mesh, 2)
-            )
+            # device_put the HOST array with the sharding directly: each
+            # shard transfers to its own device, so device 0 never stages
+            # the full index (the point of sharding a large one)
+            self._gallery = jax.device_put(gallery, data_sharding(mesh, 2))
             fwd = jax.jit(self._model.apply)
 
             def retrieve(desc, gallery, k):
@@ -96,12 +99,17 @@ class RetrievalService:
             self._run = run
         else:
             self._gallery = jnp.asarray(gallery)  # HBM-resident, one device
+            # forward and top-k are separate jits on purpose: k is a static
+            # arg, and a fused program would recompile the whole conv stack
+            # for every new topk a client sends (tens of seconds, under the
+            # request lock); split, only the small top-k program respecializes
+            fwd = jax.jit(self._model.apply)
+            retrieve = jax.jit(topk_nearest, static_argnames=("k",))
 
             def run(params, images, gallery, k):
-                desc = self._model.apply(params, images)
-                return topk_nearest(desc, gallery, k=k)
+                return retrieve(fwd(params, images), gallery, k=k)
 
-            self._run = jax.jit(run, static_argnames=("k",))
+            self._run = run
 
     def warmup(self, topk=10):
         """Compile every bucket up front so first requests aren't slow."""
@@ -114,15 +122,16 @@ class RetrievalService:
     def _preprocess(self, images):
         from PIL import Image
 
-        from openibl_tpu.data.transforms import resize
+        from openibl_tpu.data.transforms import TestTransform
 
+        # the SAME transform the index build uses (index_and_query.py) — a
+        # resize-semantics drift between gallery and query descriptors would
+        # silently skew retrieval
+        tf = TestTransform(self.height, self.width, device_normalize=True)
         out = []
         for img in images:
             if isinstance(img, Image.Image):
-                img = np.asarray(
-                    resize(img.convert("RGB"), self.height, self.width),
-                    np.uint8,
-                )
+                img = tf(img.convert("RGB"))
             img = np.asarray(img)
             if img.shape != (self.height, self.width, 3):
                 raise ValueError(
@@ -139,6 +148,10 @@ class RetrievalService:
         Returns a list (one per image) of match lists
         ``[{"rank", "index", "sq_dist", "path"?}, ...]``.
         """
+        if not len(images):
+            return []
+        if topk < 1:
+            raise ValueError(f"topk must be >= 1, got {topk}")
         batch = self._preprocess(images)
         n = batch.shape[0]
         bucket = next((b for b in self.buckets if b >= n), None)

@@ -65,12 +65,17 @@ class TestRetrievalService:
 
     def test_index_from_file(self, tmp_path):
         rng = np.random.RandomState(4)
-        path = str(tmp_path / "index.npz")
+        path = tmp_path / "index.npz"  # pathlib.Path accepted like str
         np.savez(path, descriptors=rng.randn(4, 4096).astype(np.float32))
         svc = RetrievalService(path, height=32, width=48, batch_buckets=(1,))
         out = svc.query([np.zeros((32, 48, 3), np.uint8)], topk=10)[0]
         assert len(out) == 4  # topk clamps to index size
         assert "path" not in out[0]  # no payloads in this index
+
+    def test_degenerate_inputs(self, service):
+        assert service.query([]) == []
+        with pytest.raises(ValueError, match="topk"):
+            service.query([np.zeros((32, 48, 3), np.uint8)], topk=0)
 
 
 class TestMeshServing:
