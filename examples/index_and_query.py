@@ -42,9 +42,10 @@ def build(args):
         verbose=True,
     )
     index_path = args.index if args.index.endswith(".npz") else args.index + ".npz"
-    np.savez(index_path, descriptors=feats.astype(np.float32),
+    np.savez(index_path, descriptors=feats.astype(args.store_dtype),
              paths=np.array(paths))
-    print(f"wrote {index_path}: {feats.shape} descriptors")
+    print(f"wrote {index_path}: {feats.shape} descriptors "
+          f"({args.store_dtype})")
 
 
 def query(args):
@@ -73,6 +74,10 @@ def main():
     b = sub.add_parser("build")
     b.add_argument("gallery")
     b.add_argument("index")
+    b.add_argument("--store-dtype", choices=["float32", "float16"],
+                   default="float32",
+                   help="float16 halves index size on disk and in HBM; "
+                        "unit-norm descriptors lose only near-tie ordering")
     q = sub.add_parser("query")
     q.add_argument("index")
     q.add_argument("image")

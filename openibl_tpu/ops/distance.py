@@ -62,9 +62,14 @@ def topk_nearest(query, gallery, k, chunk=4096, full_path=None,
     HBM-resident gallery, O(Q*k) state. Returns (dists (Q,k), indices (Q,k));
     with ``return_rowmax`` additionally the per-query max distance over the
     WHOLE gallery (needed by the streaming rerank's row normalization).
+
+    A reduced-precision gallery (float16/bfloat16 — e.g. a half-memory
+    serving index) stays in its storage dtype on the streaming path; each
+    tile is upcast to f32 transiently inside the scan, so HBM never holds a
+    full f32 copy of the index.
     """
     q = jnp.asarray(query, jnp.float32)
-    g = jnp.asarray(gallery, jnp.float32)
+    g = jnp.asarray(gallery)
     n = g.shape[0]
     k = min(k, n)
 
@@ -89,6 +94,7 @@ def topk_nearest(query, gallery, k, chunk=4096, full_path=None,
     def body(carry, inp):
         best_d, best_i, best_m = carry
         tile, tile_start = inp
+        tile = tile.astype(jnp.float32)  # per-tile transient upcast
         t2 = jnp.sum(jnp.square(tile), axis=1)[None, :]
         d = q2 + t2 - 2.0 * jnp.dot(
             q, tile.T, preferred_element_type=jnp.float32,
@@ -218,5 +224,6 @@ def topk_nearest_sharded(query, gallery, mesh, k, axis="data", chunk=4096):
         out_specs=(P(), P()),
         check_vma=False,
     )
-    return jax.jit(fn)(jnp.asarray(query, jnp.float32),
-                       jnp.asarray(gallery, jnp.float32))
+    # gallery keeps its storage dtype (fp16 shards stay half-width;
+    # topk_nearest upcasts per tile inside each shard)
+    return jax.jit(fn)(jnp.asarray(query, jnp.float32), jnp.asarray(gallery))

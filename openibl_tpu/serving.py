@@ -48,7 +48,12 @@ class RetrievalService:
             data = np.load(index, allow_pickle=False)
             index = {k: data[k] for k in data.files}
         self.paths = [str(p) for p in index.get("paths", [])]
-        gallery = np.ascontiguousarray(index["descriptors"], np.float32)
+        gallery = np.ascontiguousarray(index["descriptors"])
+        if gallery.dtype != np.float16:
+            gallery = gallery.astype(np.float32, copy=False)
+        # float16 indexes stay half-width in HBM; topk_nearest upcasts
+        # per-tile transiently (descriptors are unit-norm, so fp16 keeps
+        # retrieval order for all but near-tied matches)
         self.index_size = gallery.shape[0]
         self.height, self.width = height, width
         self.buckets = tuple(sorted(batch_buckets))
@@ -69,7 +74,8 @@ class RetrievalService:
             pad = (-gallery.shape[0]) % n_dev
             if pad:
                 gallery = np.concatenate(
-                    [gallery, np.zeros((pad, gallery.shape[1]), np.float32)]
+                    [gallery,
+                     np.zeros((pad, gallery.shape[1]), gallery.dtype)]
                 )
             # device_put the HOST array with the sharding directly: each
             # shard transfers to its own device, so device 0 never stages

@@ -131,3 +131,26 @@ class TestDistance:
         for i in range(s):
             expect = pos[i, :6][np.argsort(d2[i, pos[i, :6]])][:4]
             np.testing.assert_array_equal(ranked[i], expect)
+
+
+class TestReducedPrecisionGallery:
+    def test_fp16_gallery_both_paths(self):
+        """float16 gallery storage: both topk paths return f32 distances and
+        the f32 ranking (unit-norm rows, no near-ties)."""
+        import jax.numpy as jnp
+        from openibl_tpu.ops.distance import topk_nearest
+
+        rng = np.random.RandomState(11)
+        g = rng.randn(300, 64).astype(np.float32)
+        g /= np.linalg.norm(g, axis=1, keepdims=True)
+        q = rng.randn(4, 64).astype(np.float32)
+        for full in (True, False):
+            d32, i32 = topk_nearest(jnp.asarray(q), jnp.asarray(g), k=7,
+                                    chunk=128, full_path=full)
+            d16, i16 = topk_nearest(jnp.asarray(q),
+                                    jnp.asarray(g.astype(np.float16)),
+                                    k=7, chunk=128, full_path=full)
+            assert d16.dtype == jnp.float32
+            np.testing.assert_array_equal(np.asarray(i32), np.asarray(i16))
+            np.testing.assert_allclose(np.asarray(d32), np.asarray(d16),
+                                       atol=2e-3)

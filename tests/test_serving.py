@@ -72,6 +72,23 @@ class TestRetrievalService:
         assert len(out) == 4  # topk clamps to index size
         assert "path" not in out[0]  # no payloads in this index
 
+    def test_float16_index_matches_float32(self):
+        """A half-precision index returns the same ranking on separated
+        galleries (fp16 storage, per-tile f32 upcast in topk_nearest)."""
+        rng = np.random.RandomState(9)
+        gallery = rng.randn(24, 4096).astype(np.float32)
+        gallery /= np.linalg.norm(gallery, axis=1, keepdims=True)
+        img = rng.randint(0, 256, (32, 48, 3), np.uint8)
+        out = []
+        for dt in (np.float32, np.float16):
+            svc = RetrievalService(
+                {"descriptors": gallery.astype(dt)}, height=32, width=48,
+                batch_buckets=(1,),
+            )
+            assert svc._gallery.dtype == dt
+            out.append([m["index"] for m in svc.query([img], topk=5)[0]])
+        assert out[0] == out[1]
+
     def test_degenerate_inputs(self, service):
         assert service.query([]) == []
         with pytest.raises(ValueError, match="topk"):
