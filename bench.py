@@ -45,7 +45,16 @@ def main():
                         "single-query p50 latency vs a 100k-item gallery; "
                         "train = SARE train-step tuples/sec (12 images each)")
     p.add_argument("--gallery-size", type=int, default=100_000)
+    p.add_argument("--device-time", action="store_true",
+                   help="query metric only: report amortized per-query "
+                        "latency with many queries in flight (measures "
+                        "device throughput; the synchronous p50 sits on the "
+                        "tunnel's ~33 ms dispatch floor and says nothing "
+                        "about on-device headroom)")
     p.add_argument("--verbose", action="store_true")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (code-path validation when "
+                        "the tunnel is degraded; numbers are meaningless)")
     p.add_argument("--max-seconds", type=int, default=1500,
                    help="hard wall-clock cap: exit(3) instead of hanging "
                         "when the TPU tunnel is degraded (backend init and "
@@ -69,6 +78,9 @@ def main():
         t.start()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from openibl_tpu import models
@@ -108,6 +120,31 @@ def main():
             return topk_nearest(desc, gallery, k=10, chunk=16384)
 
         np.asarray(query(params, img, gallery)[1])  # compile + warm
+        if args.device_time:
+            # Amortized per-query latency: enqueue many queries back to back
+            # and fence once at the end. Dispatch/tunnel round trips overlap
+            # device work (dispatch is async; np.asarray is the only fence on
+            # the tunneled platform), so this measures sustained device
+            # throughput rather than the ~33 ms per-dispatch floor that
+            # dominates the synchronous p50.
+            n = max(args.iters, 50)
+            t0 = time.perf_counter()
+            pending = []
+            for _ in range(n):
+                pending.append(query(params, img, gallery)[1])
+                if len(pending) > 8:
+                    np.asarray(pending.pop(0))
+            for pr in pending:
+                np.asarray(pr)
+            amort = (time.perf_counter() - t0) / n * 1000
+            print(json.dumps({
+                "metric": (f"query_amortized_ms_{args.gallery_size}gallery"
+                           f"_{n}inflight"),
+                "value": round(amort, 2),
+                "unit": "ms",
+                "vs_baseline": round(REFERENCE_GPU_QUERY_MS / amort, 2),
+            }))
+            return
         times = []
         for _ in range(max(args.iters, 10)):
             t0 = time.perf_counter()

@@ -35,6 +35,7 @@ from openibl_tpu.ops.distance import pairwise_sqdist
 from openibl_tpu.ops.kmeans import kmeans
 from openibl_tpu.parallel.extract import extract_features
 from openibl_tpu.utils.checkpoint import save_checkpoint, load_checkpoint
+from openibl_tpu.utils.profiling import PhaseTimer
 from openibl_tpu.utils.watchdog import Watchdog
 
 # warns loudly on hung device phases (tunnel/compile/collective stalls)
@@ -202,7 +203,8 @@ def _subset_splits(n_query, cache_size, epoch, step_size, seed):
 # baseline training (triplet / SARE)
 # ---------------------------------------------------------------------------
 
-def run_baseline_training(cfg, mesh=None, verbose=True):
+def run_baseline_training(cfg, mesh=None, verbose=True, timer=None):
+    timer = timer if timer is not None else PhaseTimer()
     dataset = load_dataset(cfg)
     sources = make_sources(cfg, dataset)
     model, params = build_model(cfg, dataset)
@@ -249,7 +251,8 @@ def run_baseline_training(cfg, mesh=None, verbose=True):
                            cfg.step_size, cfg.seed)
         ):
             # mining: fresh gallery + subset-anchor descriptors
-            with _WATCHDOG.watch(f"mining extraction epoch {epoch}-{subid}"):
+            with _WATCHDOG.watch(f"mining extraction epoch {epoch}-{subid}"), \
+                    timer.phase("mining_extract"):
                 g_feats = extract_features(
                     emodel.apply, params,
                     BatchLoader(sources["db_train"], batch_size=bs, prefetch=pf),
@@ -261,7 +264,8 @@ def run_baseline_training(cfg, mesh=None, verbose=True):
                                 batch_size=bs, prefetch=pf),
                     mesh=mesh, feature=feature,
                 )
-            tuples = sampler.refresh(q_feats, g_feats, subset)
+            with timer.phase("mining_refresh"):
+                tuples = sampler.refresh(q_feats, g_feats, subset)
             tuples = _apply_iters_cap(tuples, getattr(cfg, "iters", 0),
                                       cfg.tuple_size)
             sources["tuple"].transform.reseed(cfg.seed, epoch, subid)
@@ -270,20 +274,24 @@ def run_baseline_training(cfg, mesh=None, verbose=True):
             jitter_key = jax.random.fold_in(
                 jax.random.fold_in(jax.random.PRNGKey(cfg.seed), epoch), subid
             )
-            params, opt_state, avg_loss = trainer.train_epoch(
-                params, opt_state, loader, print_freq=cfg.print_freq,
-                log_prefix=f"Epoch [{epoch}-{subid}]", rng_key=jitter_key,
-            )
+            with timer.phase("train"):
+                params, opt_state, avg_loss = trainer.train_epoch(
+                    params, opt_state, loader, print_freq=cfg.print_freq,
+                    log_prefix=f"Epoch [{epoch}-{subid}]", rng_key=jitter_key,
+                )
             if verbose:
                 print(f"Epoch [{epoch}-{subid}] avg loss {avg_loss:.4f}")
 
+        if verbose:
+            print(timer.summary())
         if (epoch + 1) % cfg.eval_step == 0 or epoch == cfg.epochs - 1:
-            recalls = evaluator.evaluate(
-                params,
-                BatchLoader(sources["q_val"], batch_size=bs, prefetch=pf),
-                BatchLoader(sources["db_val"], batch_size=bs, prefetch=pf),
-                dataset.val_pos,
-            )
+            with timer.phase("eval"):
+                recalls = evaluator.evaluate(
+                    params,
+                    BatchLoader(sources["q_val"], batch_size=bs, prefetch=pf),
+                    BatchLoader(sources["db_val"], batch_size=bs, prefetch=pf),
+                    dataset.val_pos,
+                )
             history.append((epoch, recalls))
             is_best = recalls[1] > best_recall5
             best_recall5 = max(recalls[1], best_recall5)
@@ -357,7 +365,8 @@ def finalize_with_pca(cfg, dataset, sources, model, params, mesh=None,
 # SFRS training
 # ---------------------------------------------------------------------------
 
-def run_sfrs_training(cfg, mesh=None, verbose=True):
+def run_sfrs_training(cfg, mesh=None, verbose=True, timer=None):
+    timer = timer if timer is not None else PhaseTimer()
     dataset = load_dataset(cfg)
     sources = make_sources(cfg, dataset)
     model, params = build_model(cfg, dataset, region=True)
@@ -435,11 +444,13 @@ def run_sfrs_training(cfg, mesh=None, verbose=True):
                                cfg.step_size, cfg.seed)
             ):
                 jaccard_rows = None
-                g_feats = extract_features(
-                    emodel.apply, params,
-                    BatchLoader(sources["db_train"], batch_size=bs, prefetch=pf),
-                    mesh=mesh,
-                )
+                with timer.phase("mining_extract"):
+                    g_feats = extract_features(
+                        emodel.apply, params,
+                        BatchLoader(sources["db_train"], batch_size=bs,
+                                    prefetch=pf),
+                        mesh=mesh,
+                    )
                 if gen > 0:
                     # Jaccard mining over the full q∪g union
                     # (netvlad_img_sfrs.py:84-93), but device-resident: V rows
@@ -447,40 +458,45 @@ def run_sfrs_training(cfg, mesh=None, verbose=True):
                     # the min/sum intersection as fixed-shape scatter-adds —
                     # computed ONLY for the subset anchors (the reference
                     # reranks every query each refresh)
-                    q_all = extract_features(
-                        emodel.apply, params,
-                        BatchLoader(sources["q_train"], batch_size=bs,
-                                    prefetch=pf),
-                        mesh=mesh,
-                    )
+                    with timer.phase("mining_extract"):
+                        q_all = extract_features(
+                            emodel.apply, params,
+                            BatchLoader(sources["q_train"], batch_size=bs,
+                                        prefetch=pf),
+                            mesh=mesh,
+                        )
                     from openibl_tpu.ops.rerank import (
                         build_v_sparse, jaccard_for_queries,
                     )
 
-                    nq = len(q_all)
-                    union = np.concatenate([q_all, g_feats])
-                    rows, cols, vals, _, rm2 = build_v_sparse(union, k1=20)
-                    sub = np.asarray(subset)
-                    jac = jaccard_for_queries(rows, cols, vals, len(union), sub)
-                    if cfg.rerank_lambda:
-                        d2_sub = np.asarray(
-                            pairwise_sqdist(union[sub], union), np.float32
-                        )
-                        jac = jac * (1 - cfg.rerank_lambda) + (
-                            np.square(np.maximum(d2_sub, 0.0))
-                            / rm2[sub][:, None]
-                        ) * cfg.rerank_lambda
-                    jaccard_rows = jac[:, nq:]
-                    q_feats = q_all[subset]
+                    with timer.phase("mining_jaccard"):
+                        nq = len(q_all)
+                        union = np.concatenate([q_all, g_feats])
+                        rows, cols, vals, _, rm2 = build_v_sparse(union, k1=20)
+                        sub = np.asarray(subset)
+                        jac = jaccard_for_queries(rows, cols, vals,
+                                                  len(union), sub)
+                        if cfg.rerank_lambda:
+                            d2_sub = np.asarray(
+                                pairwise_sqdist(union[sub], union), np.float32
+                            )
+                            jac = jac * (1 - cfg.rerank_lambda) + (
+                                np.square(np.maximum(d2_sub, 0.0))
+                                / rm2[sub][:, None]
+                            ) * cfg.rerank_lambda
+                        jaccard_rows = jac[:, nq:]
+                        q_feats = q_all[subset]
                 else:
-                    q_feats = extract_features(
-                        emodel.apply, params,
-                        BatchLoader(sources["q_train"], indices=subset,
-                                    batch_size=bs, prefetch=pf),
-                        mesh=mesh,
-                    )
-                tuples = sampler.refresh(q_feats, g_feats, subset,
-                                         jaccard_rows=jaccard_rows)
+                    with timer.phase("mining_extract"):
+                        q_feats = extract_features(
+                            emodel.apply, params,
+                            BatchLoader(sources["q_train"], indices=subset,
+                                        batch_size=bs, prefetch=pf),
+                            mesh=mesh,
+                        )
+                with timer.phase("mining_refresh"):
+                    tuples = sampler.refresh(q_feats, g_feats, subset,
+                                             jaccard_rows=jaccard_rows)
                 tuples = _apply_iters_cap(tuples, getattr(cfg, "iters", 0),
                                           cfg.tuple_size)
                 sources["tuple"].transform.reseed(cfg.seed, gen, epoch, subid)
@@ -489,24 +505,28 @@ def run_sfrs_training(cfg, mesh=None, verbose=True):
                 jitter_key = jax.random.fold_in(jax.random.fold_in(
                     jax.random.fold_in(jax.random.PRNGKey(cfg.seed), gen),
                     epoch), subid)
-                params, opt_state, (lh, ls) = trainer.train_epoch(
-                    params, teacher, opt_state, loader, gen,
-                    print_freq=cfg.print_freq,
-                    log_prefix=f"Gen {gen} Epoch [{epoch}-{subid}]",
-                    rng_key=jitter_key,
-                )
+                with timer.phase("train"):
+                    params, opt_state, (lh, ls) = trainer.train_epoch(
+                        params, teacher, opt_state, loader, gen,
+                        print_freq=cfg.print_freq,
+                        log_prefix=f"Gen {gen} Epoch [{epoch}-{subid}]",
+                        rng_key=jitter_key,
+                    )
                 if verbose:
                     print(f"Gen {gen} Epoch [{epoch}-{subid}] "
                           f"hard {lh:.4f} soft {ls:.4f}")
 
+            if verbose:
+                print(timer.summary())
             if not ((epoch + 1) % cfg.eval_step == 0 or epoch == cfg.epochs - 1):
                 continue  # eval/checkpoint cadence (netvlad_img_sfrs.py:210)
-            recalls = evaluator.evaluate(
-                params,
-                BatchLoader(sources["q_val"], batch_size=bs, prefetch=pf),
-                BatchLoader(sources["db_val"], batch_size=bs, prefetch=pf),
-                dataset.val_pos,
-            )
+            with timer.phase("eval"):
+                recalls = evaluator.evaluate(
+                    params,
+                    BatchLoader(sources["q_val"], batch_size=bs, prefetch=pf),
+                    BatchLoader(sources["db_val"], batch_size=bs, prefetch=pf),
+                    dataset.val_pos,
+                )
             is_best = recalls[1] > best_recall5
             best_recall5 = max(recalls[1], best_recall5)
             save_checkpoint(
