@@ -277,7 +277,18 @@ class JaccardEngine:
 
             ccounts = np.bincount(self.cols, minlength=self.n)
             p = _pad_pow2(int(ccounts.max()) if len(self.cols) else 1)
-            if p > _MAX_COL_OCCUPANCY and sp is not None:
+            if p > _MAX_COL_OCCUPANCY:
+                if sp is None:
+                    # hub-heavy columns: the (n, p) padded CSC tables would
+                    # be tens of GB at Pitts250k-union scale — fail loudly
+                    # rather than OOM
+                    raise MemoryError(
+                        f"degenerate V-column occupancy (padded width {p} > "
+                        f"{_MAX_COL_OCCUPANCY}) makes the padded device "
+                        f"Jaccard tables ~{self.n * p * 8 / 1e9:.1f} GB and "
+                        "scipy is unavailable for the sparse host fallback; "
+                        "install scipy or reduce k1"
+                    )
                 self._dev = "host"
             else:
                 corder = np.argsort(self.cols, kind="stable")
@@ -349,10 +360,14 @@ class JaccardEngine:
             )[: e - s]
         return out
 
-    def query(self, query_rows, query_chunk=512, prefer="auto"):
+    def query(self, query_rows, query_chunk=512, prefer="auto",
+              total_queries=None):
         """(len(query_rows), n) Jaccard distances. ``prefer`` = "auto" |
-        "host" | "device": auto routes by estimated host work (queries x
-        avg row nnz squared); host requires scipy."""
+        "host" | "device": auto routes by estimated host work per query —
+        the sparse scatter-adds (~avg row nnz squared) PLUS the O(n) dense
+        accumulator each query allocates and reduces. Callers that sweep
+        many chunks (rerank_ranks_streaming) pass ``total_queries`` so the
+        routing sees the whole sweep, not one chunk. Host requires scipy."""
         if prefer not in ("auto", "host", "device"):
             raise ValueError(f"prefer={prefer!r}")
         query_rows = np.asarray(query_rows, np.int64)
@@ -360,7 +375,8 @@ class JaccardEngine:
             raise ImportError("prefer='host' Jaccard requires scipy")
         if sp is not None and prefer != "device":
             avg_row = len(self.vals) / max(self.n, 1)
-            est_host_vec_ops = len(query_rows) * avg_row * avg_row
+            n_sweep = total_queries if total_queries else len(query_rows)
+            est_host_vec_ops = n_sweep * (avg_row * avg_row + self.n)
             if prefer == "host" or est_host_vec_ops < 5e8:
                 return self._query_host(query_rows)
         return self._query_device(query_rows, query_chunk)
@@ -436,7 +452,7 @@ def rerank_ranks_streaming(q_feats, g_feats, k1=25, k2=1, lambda_value=0.0,
     out_dist = np.empty((n_q, k_out), np.float32)
     for s in range(0, n_q, query_chunk):
         e = min(s + query_chunk, n_q)
-        final = engine.query(np.arange(s, e))
+        final = engine.query(np.arange(s, e), total_queries=n_q)
         d2_chunk = np.asarray(
             pairwise_sqdist(jnp.asarray(q[s:e]), jnp.asarray(u)),
             np.float32,
@@ -445,13 +461,19 @@ def rerank_ranks_streaming(q_feats, g_feats, k1=25, k2=1, lambda_value=0.0,
         if lambda_value != 0:
             final = final * (1 - lambda_value) + orig_chunk * lambda_value
         final_g = final[:, n_q:]
-        # rank by float64 (final, original-distance) composite: the <1e-12
-        # original term is far below the f32 spacing of Jaccard values near
-        # 1.0 (~1e-7), so it orders the all-tied zero-overlap tail without
-        # disturbing genuine Jaccard differences
+        # rank by a float64 (final, original-distance) composite: the
+        # perturbation term orders the all-tied zero-overlap tail (Jaccard
+        # exactly 1.0) by feature distance. Its scale is set per row to 1e-3
+        # of the f32 spacing at the row's largest value, so it stays below
+        # the smallest difference f32 arithmetic can have produced at any
+        # magnitude — a fixed 1e-12 would overpower genuine sub-1e-5
+        # Jaccard values, whose f32 spacing is finer than 1e-12
+        row_scale = np.spacing(
+            np.maximum(np.abs(final_g).max(axis=1), np.float32(1e-30))
+        ).astype(np.float64) * 1e-3
         key = final_g.astype(np.float64) + (
             orig_chunk[:, n_q:] / (orig_chunk[:, n_q:].max() + 1.0)
-        ).astype(np.float64) * 1e-12
+        ).astype(np.float64) * row_scale[:, None]
         part = np.argpartition(key, k_out - 1, axis=1)[:, :k_out]
         pkeys = np.take_along_axis(key, part, axis=1)
         order = np.argsort(pkeys, axis=1, kind="stable")

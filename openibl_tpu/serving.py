@@ -118,12 +118,16 @@ class RetrievalService:
             self._run = run
 
     def warmup(self, topk=10):
-        """Compile every bucket up front so first requests aren't slow."""
-        for b in self.buckets:
-            z = np.zeros((b, self.height, self.width, 3), np.uint8)
-            d, i = self._run(self._params, z, self._gallery,
-                             min(topk, self.index_size))
-            np.asarray(i)
+        """Compile every bucket up front so first requests aren't slow.
+        Takes the request lock: a warmup issued while the HTTP server is
+        already answering queries must not interleave device work the class
+        otherwise serializes."""
+        with self._lock:
+            for b in self.buckets:
+                z = np.zeros((b, self.height, self.width, 3), np.uint8)
+                d, i = self._run(self._params, z, self._gallery,
+                                 min(topk, self.index_size))
+                np.asarray(i)
 
     def _preprocess(self, images):
         from PIL import Image
