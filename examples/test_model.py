@@ -42,6 +42,9 @@ def main():
     p.add_argument("--rr-topk", type=int, default=25)
     p.add_argument("--lambda-value", type=float, default=0.0)
     p.add_argument("--nms", action="store_true", help="Tokyo spatial NMS")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 backbone compute (match a bf16-trained "
+                        "checkpoint; descriptor matmuls stay f32)")
     p.add_argument("--n-devices", type=int, default=None)
     args = p.parse_args()
 
@@ -59,6 +62,8 @@ def main():
         lambda_value=args.lambda_value,
         nms=args.nms or args.dataset == "tokyo",
         num_clusters=args.num_clusters,
+        arch=args.arch,
+        compute_dtype="bfloat16" if args.bf16 else "float32",
     )
     run_eval(cfg, mesh=get_mesh(args.n_devices))
 

@@ -85,5 +85,7 @@ class EvalConfig:
     lambda_value: float = 0.0
     nms: bool = False  # Tokyo spatial NMS
     num_clusters: int = 64
+    arch: str = "vgg16"
+    compute_dtype: str = "float32"  # or "bfloat16" — match the training dtype
     pca_dataset: str = ""  # dataset whose train split fits PCA ('' = same)
     pca_scale: str = ""

@@ -566,8 +566,17 @@ def run_eval(cfg, mesh=None, train_cfg=None, verbose=True):
     db_src = ImageSource(dataset.db_test, dataset.images_dir, fixed_tf)
 
     feature = "vlad" if getattr(cfg, "use_vlad", True) else "pool"
+    # honor the training compute dtype + fused-head selection for the
+    # rebuilt model — a bf16-trained checkpoint must also evaluate in bf16
+    # for perf parity of this entry
+    base = models.create(
+        getattr(cfg, "arch", "vgg16"),
+        compute_dtype=jnp.bfloat16
+        if getattr(cfg, "compute_dtype", "float32") == "bfloat16"
+        else jnp.float32,
+    )
     nv = models.NetVLAD(num_clusters=cfg.num_clusters)
-    model = models.create("embednet", net_vlad=nv)
+    model = models.create("embednet", base=base, net_vlad=nv)
     model = eval_view(model)
     params = model.init(jax.random.PRNGKey(0))
     if cfg.checkpoint:

@@ -4,6 +4,7 @@ mining → training → eval → PCA → checkpointing as one flow."""
 
 import os.path as osp
 
+import jax
 import numpy as np
 import pytest
 
@@ -37,16 +38,63 @@ def _cfg(tmp_path, cls=TrainConfig, **kw):
 
 
 class TestBaselineE2E:
-    def test_full_training_loop(self, tmp_path):
-        cfg = _cfg(tmp_path)
+    def test_full_training_loop(self, tmp_path, monkeypatch):
+        cfg = _cfg(tmp_path, epochs=2)
+
+        # spy per-subset average losses: the learning gate below needs the
+        # training trajectory, not just the final recalls
+        losses = []
+        orig_step = pipeline.Trainer.train_epoch
+
+        def spy(self, params, opt_state, loader, **kw):
+            params, opt_state, avg = orig_step(self, params, opt_state,
+                                               loader, **kw)
+            losses.append(float(avg))
+            return params, opt_state, avg
+
+        monkeypatch.setattr(pipeline.Trainer, "train_epoch", spy)
+
+        # deterministic untrained params (same seed/centroid bootstrap) for
+        # the did-training-move-anything check
+        dataset = pipeline.load_dataset(cfg)
+        _, init_params = pipeline.build_model(cfg, dataset)
+
         params, recalls, history = pipeline.run_baseline_training(
             cfg, verbose=False
         )
-        # synthetic places are trivially separable: planted structure must
-        # survive the full pipeline (descriptor → PCA → retrieval)
         assert len(recalls) == 3
-        assert recalls[2] >= recalls[1] >= recalls[0] >= 0.0
+        assert recalls[2] >= recalls[1] >= recalls[0]
         assert history, "no eval ran"
+
+        # -- learning gate (a random model passes monotone-recall alone) --
+        # 1. the optimizer actually moved the trainable parameters
+        deltas = [
+            float(np.max(np.abs(np.asarray(a, np.float32)
+                                - np.asarray(b, np.float32))))
+            for a, b in zip(
+                jax.tree_util.tree_leaves(params),
+                jax.tree_util.tree_leaves(init_params),
+            )
+        ]
+        assert max(deltas) > 1e-6, "training never changed any parameter"
+        # 2. the loss trajectory improves: last epoch beats the first (a
+        #    zeroed-grad / never-applied-LR / garbage-mining regression
+        #    leaves the loss flat or random)
+        assert len(losses) >= 4, losses
+        half = len(losses) // 2
+        assert np.mean(losses[half:]) < np.mean(losses[:half]), losses
+        # 3. retrieval quality is high in absolute terms AND not worse than
+        #    an untrained model of the same architecture
+        assert recalls[0] >= 0.75, recalls
+        from openibl_tpu.config import EvalConfig
+
+        untrained = pipeline.run_eval(
+            EvalConfig(data=cfg.data, checkpoint="", reduction=False,
+                       num_clusters=8),
+            verbose=False,
+        )
+        assert recalls[0] >= untrained[0] - 1e-9, (recalls, untrained)
+
         # checkpoints written, best tracked
         assert osp.isfile(osp.join(cfg.logs_dir, "model_best.npz"))
         assert osp.isfile(osp.join(cfg.logs_dir, "checkpoint0.npz"))
@@ -79,6 +127,9 @@ class TestSFRSE2E:
         )
         params, recalls = pipeline.run_sfrs_training(cfg, verbose=False)
         assert len(recalls) == 3
+        # learning gate: generational distillation must land a model that
+        # actually retrieves on the separable synthetic places
+        assert recalls[0] >= 0.75, recalls
         assert osp.isfile(osp.join(cfg.logs_dir, "checkpoint1_0.npz"))
 
     def test_generation_with_device_jitter(self, tmp_path):
@@ -112,6 +163,23 @@ class TestEvalEntry:
         )
         recalls = pipeline.run_eval(ecfg, verbose=False)
         assert len(recalls) == 3
+
+
+class TestEvalDtypeConsistency:
+    def test_run_eval_bf16_model(self, tmp_path):
+        """compute_dtype plumbs through run_eval's rebuilt model (a
+        bf16-trained checkpoint must evaluate in bf16, not silently f32)."""
+        from openibl_tpu.config import EvalConfig
+
+        cfg = _cfg(tmp_path)
+        pipeline.load_dataset(cfg)  # force synthetic arrange
+        ecfg = EvalConfig(
+            data=cfg.data, checkpoint="", reduction=False, num_clusters=8,
+            compute_dtype="bfloat16",
+        )
+        recalls = pipeline.run_eval(ecfg, verbose=False)
+        assert len(recalls) == 3
+        assert np.all(recalls >= 0) and np.all(recalls <= 1)
 
 
 class TestReferenceFlagKnobs:

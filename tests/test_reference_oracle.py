@@ -539,3 +539,105 @@ class TestEvaluateAllOracle:
             topk=(1, 5, 10), nms=nms,
         )
         np.testing.assert_allclose(ours, ref_recalls, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# C7 + optimizer: full SGD train-step parity (params after the update)
+# ---------------------------------------------------------------------------
+
+class TestTrainStepOracle:
+    """Two full optimizer steps: torch.optim.SGD over requires_grad params
+    (the reference recipe, examples/netvlad_img.py:164-166, with the conv5
+    freeze of ibl/models/vgg.py:20-26) vs our optax chain + trainable mask.
+    Asserting the post-step parameter trees equal catches weight-decay
+    placement, momentum-buffer convention and freeze-mask drift that the
+    loss/grad parity tests cannot see."""
+
+    LR, MOM, WD = 1e-3, 0.9, 1e-3
+    T, NEG, K = 1, 2, 4
+    MARGIN = float(np.sqrt(0.1))
+
+    def test_sgd_update_matches(self, ref_netvlad_mod, ref_trainers_mod, rng):
+        G = 2 + self.NEG
+        ref = ref_netvlad_mod.EmbedNet(
+            TorchVGGBase(seed=11), _rand_netvlad(ref_netvlad_mod, self.K, 12)
+        ).train()
+        # reference freeze: everything below features[24] (conv5_1)
+        for i, m in enumerate(ref.base_model.base):
+            if i < 24:
+                for p in m.parameters():
+                    p.requires_grad = False
+        opt = torch.optim.SGD(
+            [p for p in ref.parameters() if p.requires_grad],
+            lr=self.LR, momentum=self.MOM, weight_decay=self.WD,
+        )
+        rtrainer = ref_trainers_mod.Trainer(model=None, margin=self.MARGIN)
+
+        from openibl_tpu.engine.trainer import Trainer as OurTrainer
+
+        ours = models.create(
+            "embednet", net_vlad=models.NetVLAD(num_clusters=self.K)
+        )
+        params = convert.embednet_params_from_torch(ref.state_dict())
+        # REAL copies: params are donated to the train step, and np.asarray
+        # of a CPU jax array is a zero-copy view of the donated buffer
+        before = jax.tree.map(lambda a: np.array(a, copy=True), params)
+        trainer = OurTrainer(
+            ours, loss_type="sare_ind", margin=self.MARGIN, lr=self.LR,
+            momentum=self.MOM, weight_decay=self.WD,
+        )
+        opt_state = trainer.init(params)
+
+        x = _images(rng, self.T * G, 32, 48)
+        x_ours = jnp.asarray(
+            np.transpose(x, (0, 2, 3, 1)).reshape(
+                self.T, G, 32, 48, 3
+            )
+        )
+        for step in range(2):
+            opt.zero_grad()
+            _, vlad_ref = ref(torch.from_numpy(x))
+            loss_ref = rtrainer._get_loss(vlad_ref, "sare_ind", self.T, G)
+            loss_ref.backward()
+            opt.step()
+            params, opt_state, loss_ours = trainer.step(
+                params, opt_state, x_ours
+            )
+            np.testing.assert_allclose(
+                float(loss_ours), float(loss_ref.detach()),
+                rtol=1e-4, atol=1e-5, err_msg=f"loss diverged at step {step}"
+            )
+
+        after_ref = convert.embednet_params_from_torch(ref.state_dict())
+        mask = ours.trainable_mask(params)
+        flat_ours = jax.tree_util.tree_flatten_with_path(params)[0]
+        flat_ref = jax.tree_util.tree_flatten_with_path(after_ref)[0]
+        flat_before = jax.tree_util.tree_flatten_with_path(before)[0]
+        flat_mask = jax.tree_util.tree_leaves(mask)
+        assert len(flat_ours) == len(flat_ref) == len(flat_mask)
+        n_frozen = n_trained = 0
+        for (path, ours_leaf), (_, ref_leaf), (_, before_leaf), trainable in zip(
+            flat_ours, flat_ref, flat_before, flat_mask
+        ):
+            name = jax.tree_util.keystr(path)
+            if not trainable:
+                # frozen on both sides: bit-identical to the pre-step value
+                np.testing.assert_array_equal(
+                    np.asarray(ours_leaf), before_leaf, err_msg=name
+                )
+                np.testing.assert_array_equal(
+                    np.asarray(ref_leaf), before_leaf, err_msg=name
+                )
+                n_frozen += 1
+            else:
+                # trained on both sides: the update actually moved it...
+                assert float(
+                    np.max(np.abs(np.asarray(ref_leaf) - before_leaf))
+                ) > 0.0, f"{name} never moved in the reference"
+                # ...and to the same place
+                np.testing.assert_allclose(
+                    np.asarray(ours_leaf), np.asarray(ref_leaf),
+                    rtol=1e-4, atol=2e-6, err_msg=name,
+                )
+                n_trained += 1
+        assert n_trained >= 5 and n_frozen >= 10, (n_trained, n_frozen)
