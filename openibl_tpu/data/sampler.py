@@ -36,8 +36,11 @@ class TupleSampler:
         self.neg_num = neg_num
         self.neg_pool = neg_pool
         self.pos_padded, _ = pad_index_lists(pos_list)
-        # exclusion sets: UTM "non-negatives" within 25 m (reference neg_list)
-        self.excl_sets = [frozenset(n) for n in neg_list]
+        # exclusion sets: UTM "non-negatives" within 25 m (reference
+        # neg_list), as sorted index arrays for vectorized mask fills
+        self.excl_arrays = [np.asarray(sorted(n), np.int64) for n in neg_list]
+        # reusable per-anchor membership mask (marks excluded/picked ids)
+        self._scratch = np.zeros(n_gallery, bool)
         self.neg_cache = np.full((n_query, neg_num), -1, np.int32)
         self.rng = np.random.RandomState(seed)
         self.tuples = []  # list of [anchor, pos+Q, negs...+Q] global indices
@@ -46,22 +49,49 @@ class TupleSampler:
         self.rng = np.random.RandomState(epoch)
 
     def _sample_candidates(self, sub_ids):
-        """Per-anchor candidate negatives: neg_pool uniform samples from the
-        allowed gallery (rejection sampling) ∪ cached negatives."""
+        """Per-anchor candidate negatives: neg_pool uniform samples without
+        replacement from the allowed gallery ∪ cached negatives.
+
+        Sequential with-replacement draws, rejecting excluded and
+        already-picked ids and keeping first occurrences, IS uniform
+        sampling without replacement — at O(|excl| + neg_pool) host work
+        per anchor. (The previous full-gallery permutation + np.isin was
+        O(G) per anchor: ~10^8 host ops per refresh at Pitts250k scale on
+        the 1-core TPU host, VERDICT r2 #7.)"""
         n_cand = self.neg_pool + self.neg_num
         cand = np.full((len(sub_ids), n_cand), -1, np.int32)
+        want = self.neg_pool
+        g = self.n_gallery
+        scratch = self._scratch
         for row, a in enumerate(sub_ids):
-            excl = self.excl_sets[a]
-            # uniform sample without replacement from the allowed gallery:
-            # permute, drop exclusion-zone members, truncate
-            want = self.neg_pool
-            perm = self.rng.permutation(self.n_gallery)
-            head = perm[: want + len(excl)]
-            pool = head[~np.isin(head, list(excl))][:want].astype(np.int32)
-            if len(pool) < want:  # pathological tiny gallery
-                rest = perm[want + len(excl):]
-                extra = rest[~np.isin(rest, list(excl))]
-                pool = np.concatenate([pool, extra[: want - len(pool)]]).astype(np.int32)
+            excl = self.excl_arrays[a]
+            scratch[excl] = True
+            if g - len(excl) <= want:
+                # tiny allowed set: the sample is the whole set
+                pool = np.flatnonzero(~scratch).astype(np.int32)
+            else:
+                pool = np.empty(want, np.int32)
+                got = 0
+                while got < want:
+                    need = want - got
+                    # oversample for the current rejection rate plus slack
+                    frac = (len(excl) + got) / g
+                    draw = self.rng.randint(
+                        0, g,
+                        size=int(need / max(1.0 - frac, 1e-9) * 1.1) + 16,
+                    )
+                    draw = draw[~scratch[draw]]
+                    if draw.size == 0:
+                        continue
+                    uniq_first = np.sort(
+                        np.unique(draw, return_index=True)[1]
+                    )
+                    draw = draw[uniq_first][:need]
+                    scratch[draw] = True
+                    pool[got : got + len(draw)] = draw
+                    got += len(draw)
+                scratch[pool] = False
+            scratch[excl] = False
             cached = self.neg_cache[a]
             cached = cached[cached >= 0]
             merged = np.unique(np.concatenate([pool, cached]))
