@@ -65,7 +65,14 @@ def evaluate_descriptors(q_feats, g_feats, ground_truth, gallery_pids=None,
     """End-to-end recall from descriptor arrays.
 
     With ``mesh`` the gallery is sharded across devices and kNN merged over
-    ICI (ops.distance.topk_nearest_sharded) — each device holds G/n rows."""
+    ICI (ops.distance.topk_nearest_sharded) — each device holds G/n rows.
+    In multi-process runs a global mesh is reduced to this process's
+    sub-mesh: the descriptors are host-resident (already all-gathered), so
+    every host runs the identical kNN redundantly on its own devices."""
+    if mesh is not None:
+        from openibl_tpu.parallel.mesh import process_local_mesh
+
+        mesh = process_local_mesh(mesh)  # no-op single-process
     k_need = max(topk) * (12 if nms else 1)
     if mesh is not None and mesh.size > 1:
         from openibl_tpu.ops.distance import topk_nearest_sharded
@@ -156,4 +163,33 @@ class Evaluator:
             q_feats, g_feats, ground_truth, gallery_pids, topk=topk, nms=nms,
             rerank=rerank, rr_topk=rr_topk, lambda_value=lambda_value,
             mesh=self.mesh,
+        )
+
+    def evaluate_sources(self, params, q_source, db_source, ground_truth,
+                         gallery_pids=None, pca=None, batch_size=32,
+                         prefetch=2, topk=(1, 5, 10), nms=False, rerank=False,
+                         rr_topk=25, lambda_value=0, verbose=False,
+                         print_results=True):
+        """Like ``evaluate`` but from ImageSources: extraction is sharded
+        across hosts in multi-process runs (each host extracts a contiguous
+        slice and the features are all-gathered — the reference splits eval
+        the same way, ibl/evaluators.py:88-101). Use this in the training
+        pipelines; the loader-based ``evaluate`` stays for the masked
+        variable-shape (Tokyo) test entry."""
+        from openibl_tpu.parallel.extract import extract_features_sharded
+
+        q_feats = extract_features_sharded(
+            self.apply_fn, params, q_source, batch_size=batch_size,
+            mesh=self.mesh, pca=pca, feature=self.feature, verbose=verbose,
+            prefetch=prefetch,
+        )
+        g_feats = extract_features_sharded(
+            self.apply_fn, params, db_source, batch_size=batch_size,
+            mesh=self.mesh, pca=pca, feature=self.feature, verbose=verbose,
+            prefetch=prefetch,
+        )
+        return evaluate_descriptors(
+            q_feats, g_feats, ground_truth, gallery_pids, topk=topk, nms=nms,
+            rerank=rerank, rr_topk=rr_topk, lambda_value=lambda_value,
+            mesh=self.mesh, print_results=print_results,
         )

@@ -26,6 +26,22 @@ from openibl_tpu import data as datasets
 from openibl_tpu import models
 from openibl_tpu.data.loader import ImageSource, BatchLoader, TupleLoader
 from openibl_tpu.data.sampler import TupleSampler, DiffTupleSampler
+
+
+def _local_tuple_stream(tuples, tuple_size):
+    """This process's slice of the mined tuple stream + its local batch size.
+
+    Single process: the stream unchanged. Multi-host: every process holds the
+    identical global stream (mining is deterministic on all-gathered
+    features), takes its per-batch rows (data.sampler.shard_tuples) and
+    feeds tuple_size // n_proc tuples per step — the trainers assemble the
+    global (tuple_size, ...) batch via jax.make_array_from_process_local_data.
+    """
+    n_proc = jax.process_count()
+    if n_proc == 1:
+        return tuples, tuple_size
+    local = shard_tuples(tuples, tuple_size, n_proc, jax.process_index())
+    return local, tuple_size // n_proc
 from openibl_tpu.data.transforms import TrainTransform, TestTransform
 from openibl_tpu.engine.evaluator import Evaluator
 from openibl_tpu.engine.trainer import Trainer
@@ -33,7 +49,10 @@ from openibl_tpu.engine.sfrs import SFRSTrainer
 from openibl_tpu.ops import pca as pca_ops
 from openibl_tpu.ops.distance import pairwise_sqdist
 from openibl_tpu.ops.kmeans import kmeans
-from openibl_tpu.parallel.extract import extract_features
+from openibl_tpu.parallel.extract import (
+    extract_features, extract_features_sharded,
+)
+from openibl_tpu.data.sampler import shard_tuples
 from openibl_tpu.utils.checkpoint import save_checkpoint, load_checkpoint
 from openibl_tpu.utils.profiling import PhaseTimer
 from openibl_tpu.utils.watchdog import Watchdog
@@ -109,12 +128,13 @@ def bootstrap_centroids(cfg, dataset, base_model, base_params,
             descs.append(img_desc[sample])
     descs = np.concatenate(descs).astype(np.float32)
     centroids, _ = kmeans(descs, cfg.num_clusters, iters=100, seed=seed)
-    import os
+    if jax.process_index() == 0:  # every process computes the identical
+        import os                 # bootstrap; only rank 0 persists the cache
 
-    os.makedirs(cfg.init_dir, exist_ok=True)
-    with h5py.File(cache, "w") as h5:
-        h5.create_dataset("descriptors", data=descs)
-        h5.create_dataset("centroids", data=centroids)
+        os.makedirs(cfg.init_dir, exist_ok=True)
+        with h5py.File(cache, "w") as h5:
+            h5.create_dataset("descriptors", data=descs)
+            h5.create_dataset("centroids", data=centroids)
     return centroids, descs
 
 
@@ -205,6 +225,8 @@ def _subset_splits(n_query, cache_size, epoch, step_size, seed):
 
 def run_baseline_training(cfg, mesh=None, verbose=True, timer=None):
     timer = timer if timer is not None else PhaseTimer()
+    is_main = jax.process_index() == 0
+    verbose = verbose and is_main  # rank-0 logging, like the reference
     dataset = load_dataset(cfg)
     sources = make_sources(cfg, dataset)
     model, params = build_model(cfg, dataset)
@@ -250,26 +272,26 @@ def run_baseline_training(cfg, mesh=None, verbose=True, timer=None):
             _subset_splits(len(dataset.q_train), cfg.cache_size, epoch,
                            cfg.step_size, cfg.seed)
         ):
-            # mining: fresh gallery + subset-anchor descriptors
+            # mining: fresh gallery + subset-anchor descriptors. The sharded
+            # helper splits the work per host (DCN all-gather reassembly) and
+            # is a plain mesh pass single-process.
             with _WATCHDOG.watch(f"mining extraction epoch {epoch}-{subid}"), \
                     timer.phase("mining_extract"):
-                g_feats = extract_features(
-                    emodel.apply, params,
-                    BatchLoader(sources["db_train"], batch_size=bs, prefetch=pf),
-                    mesh=mesh, feature=feature,
+                g_feats = extract_features_sharded(
+                    emodel.apply, params, sources["db_train"],
+                    batch_size=bs, mesh=mesh, feature=feature, prefetch=pf,
                 )
-                q_feats = extract_features(
-                    emodel.apply, params,
-                    BatchLoader(sources["q_train"], indices=subset,
-                                batch_size=bs, prefetch=pf),
-                    mesh=mesh, feature=feature,
+                q_feats = extract_features_sharded(
+                    emodel.apply, params, sources["q_train"], indices=subset,
+                    batch_size=bs, mesh=mesh, feature=feature, prefetch=pf,
                 )
             with timer.phase("mining_refresh"):
                 tuples = sampler.refresh(q_feats, g_feats, subset)
             tuples = _apply_iters_cap(tuples, getattr(cfg, "iters", 0),
                                       cfg.tuple_size)
+            local_tuples, local_ts = _local_tuple_stream(tuples, cfg.tuple_size)
             sources["tuple"].transform.reseed(cfg.seed, epoch, subid)
-            loader = TupleLoader(sources["tuple"], tuples, cfg.tuple_size,
+            loader = TupleLoader(sources["tuple"], local_tuples, local_ts,
                                  prefetch=pf)
             jitter_key = jax.random.fold_in(
                 jax.random.fold_in(jax.random.PRNGKey(cfg.seed), epoch), subid
@@ -286,22 +308,22 @@ def run_baseline_training(cfg, mesh=None, verbose=True, timer=None):
             print(timer.summary())
         if (epoch + 1) % cfg.eval_step == 0 or epoch == cfg.epochs - 1:
             with timer.phase("eval"):
-                recalls = evaluator.evaluate(
-                    params,
-                    BatchLoader(sources["q_val"], batch_size=bs, prefetch=pf),
-                    BatchLoader(sources["db_val"], batch_size=bs, prefetch=pf),
-                    dataset.val_pos,
+                recalls = evaluator.evaluate_sources(
+                    params, sources["q_val"], sources["db_val"],
+                    dataset.val_pos, batch_size=bs, prefetch=pf,
+                    print_results=verbose,
                 )
             history.append((epoch, recalls))
             is_best = recalls[1] > best_recall5
             best_recall5 = max(recalls[1], best_recall5)
-            save_checkpoint(
-                osp.join(cfg.logs_dir, f"checkpoint{epoch}.npz"),
-                {"params": params, "opt_state": opt_state,
-                 "neg_cache": sampler.neg_cache},
-                {"epoch": epoch, "best_recall5": float(best_recall5)},
-                is_best=is_best,
-            )
+            if is_main:  # rank-0 checkpointing (shared-FS safe)
+                save_checkpoint(
+                    osp.join(cfg.logs_dir, f"checkpoint{epoch}.npz"),
+                    {"params": params, "opt_state": opt_state,
+                     "neg_cache": sampler.neg_cache},
+                    {"epoch": epoch, "best_recall5": float(best_recall5)},
+                    is_best=is_best,
+                )
             if verbose:
                 print(
                     f" * epoch {epoch} recall@1/5/10: "
@@ -310,6 +332,12 @@ def run_baseline_training(cfg, mesh=None, verbose=True, timer=None):
                 )
 
     # final: PCA on the best model, test-split eval (netvlad_img.py:212-233)
+    if jax.process_count() > 1:
+        # non-main processes must not read model_best.npz before rank 0
+        # finishes writing it
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("openibl:ckpt_final")
     best_path = osp.join(cfg.logs_dir, "model_best.npz")
     if osp.isfile(best_path):
         loaded, _ = load_checkpoint(best_path, {"params": params})
@@ -326,17 +354,17 @@ def finalize_with_pca(cfg, dataset, sources, model, params, mesh=None,
     selection like the reference's vlad=args.vlad plumbing."""
     feature = "vlad" if getattr(cfg, "use_vlad", True) else "pool"
     emodel = eval_view(model)
+    is_main = jax.process_index() == 0
+    verbose = verbose and is_main
     bs = cfg.data.test_batch_size
     pf = cfg.data.workers
     feats = np.concatenate([
-        extract_features(emodel.apply, params,
-                         BatchLoader(sources["q_train"], batch_size=bs,
-                                     prefetch=pf),
-                         mesh=mesh, feature=feature),
-        extract_features(emodel.apply, params,
-                         BatchLoader(sources["db_train"], batch_size=bs,
-                                     prefetch=pf),
-                         mesh=mesh, feature=feature),
+        extract_features_sharded(emodel.apply, params, sources["q_train"],
+                                 batch_size=bs, mesh=mesh, feature=feature,
+                                 prefetch=pf),
+        extract_features_sharded(emodel.apply, params, sources["db_train"],
+                                 batch_size=bs, mesh=mesh, feature=feature,
+                                 prefetch=pf),
     ])
     if len(feats) > 10000:
         sel = np.random.RandomState(cfg.seed).choice(len(feats), 10000, replace=False)
@@ -344,20 +372,23 @@ def finalize_with_pca(cfg, dataset, sources, model, params, mesh=None,
     pca = pca_ops.PCA(
         min(cfg.pca_dim, feats.shape[0], feats.shape[1]),
         whiten=getattr(cfg, "whiten", True),
-        params_path=osp.join(cfg.logs_dir, "pca_params_model_best.h5"),
+        # every process trains the identical PCA in memory (deterministic
+        # eigh on identical features); only rank 0 persists it
+        params_path=osp.join(cfg.logs_dir, "pca_params_model_best.h5")
+        if is_main else None,
     )
     pca.train(feats)
     if verbose:
         print("Testing with PCA reduction:")
     evaluator = Evaluator(emodel.apply, mesh=mesh, feature=feature)
-    return evaluator.evaluate(
-        params,
-        BatchLoader(sources["q_test"], batch_size=bs, prefetch=pf),
-        BatchLoader(sources["db_test"], batch_size=bs, prefetch=pf),
-        dataset.test_pos,
+    return evaluator.evaluate_sources(
+        params, sources["q_test"], sources["db_test"], dataset.test_pos,
         gallery_pids=[it[1] for it in dataset.db_test],
         pca=pca,
         nms=nms,
+        batch_size=bs,
+        prefetch=pf,
+        print_results=verbose,
     )
 
 
@@ -367,12 +398,16 @@ def finalize_with_pca(cfg, dataset, sources, model, params, mesh=None,
 
 def run_sfrs_training(cfg, mesh=None, verbose=True, timer=None):
     timer = timer if timer is not None else PhaseTimer()
+    is_main = jax.process_index() == 0
+    verbose = verbose and is_main  # rank-0 logging, like the reference
     dataset = load_dataset(cfg)
     sources = make_sources(cfg, dataset)
     model, params = build_model(cfg, dataset, region=True)
     emodel = eval_view(model)
+    from openibl_tpu.parallel.mesh import copy_tree
+
     pristine = jax.tree.map(np.asarray, params)  # re-init source per gen
-    teacher = jax.tree.map(jnp.array, params)  # real copy (params get donated)
+    teacher = copy_tree(params)  # real copy (params get donated)
     evaluator = Evaluator(emodel.apply, mesh=mesh)
 
     if len(cfg.temperature) < cfg.generations:
@@ -422,15 +457,15 @@ def run_sfrs_training(cfg, mesh=None, verbose=True, timer=None):
 
     for gen in range(start_gen, cfg.generations):
         if cfg.resume and gen == start_gen and resume_epoch is not None:
-            teacher = jax.tree.map(jnp.array, resume_teacher)
+            teacher = copy_tree(resume_teacher)
             trainer.init_generation(params)  # rebuild tx for this param tree
             opt_state = resume_opt
             start_epoch = resume_epoch
         else:
             # teacher ← student; student re-initializes; fresh optimizer
-            # (netvlad_img_sfrs.py:177-188). jnp.array copies: the train step
+            # (netvlad_img_sfrs.py:177-188). copy_tree: the train step
             # donates the student while the teacher must stay alive.
-            teacher = jax.tree.map(jnp.array, params)
+            teacher = copy_tree(params)
             params = jax.tree.map(jnp.asarray, pristine)
             opt_state = trainer.init_generation(params)
             start_epoch = cfg.epochs - 1 if gen == 0 else 0
@@ -445,11 +480,9 @@ def run_sfrs_training(cfg, mesh=None, verbose=True, timer=None):
             ):
                 jaccard_rows = None
                 with timer.phase("mining_extract"):
-                    g_feats = extract_features(
-                        emodel.apply, params,
-                        BatchLoader(sources["db_train"], batch_size=bs,
-                                    prefetch=pf),
-                        mesh=mesh,
+                    g_feats = extract_features_sharded(
+                        emodel.apply, params, sources["db_train"],
+                        batch_size=bs, mesh=mesh, prefetch=pf,
                     )
                 if gen > 0:
                     # Jaccard mining over the full q∪g union
@@ -459,11 +492,9 @@ def run_sfrs_training(cfg, mesh=None, verbose=True, timer=None):
                     # computed ONLY for the subset anchors (the reference
                     # reranks every query each refresh)
                     with timer.phase("mining_extract"):
-                        q_all = extract_features(
-                            emodel.apply, params,
-                            BatchLoader(sources["q_train"], batch_size=bs,
-                                        prefetch=pf),
-                            mesh=mesh,
+                        q_all = extract_features_sharded(
+                            emodel.apply, params, sources["q_train"],
+                            batch_size=bs, mesh=mesh, prefetch=pf,
                         )
                     from openibl_tpu.ops.rerank import (
                         build_v_sparse, jaccard_for_queries,
@@ -488,19 +519,21 @@ def run_sfrs_training(cfg, mesh=None, verbose=True, timer=None):
                         q_feats = q_all[subset]
                 else:
                     with timer.phase("mining_extract"):
-                        q_feats = extract_features(
-                            emodel.apply, params,
-                            BatchLoader(sources["q_train"], indices=subset,
-                                        batch_size=bs, prefetch=pf),
-                            mesh=mesh,
+                        q_feats = extract_features_sharded(
+                            emodel.apply, params, sources["q_train"],
+                            indices=subset, batch_size=bs, mesh=mesh,
+                            prefetch=pf,
                         )
                 with timer.phase("mining_refresh"):
                     tuples = sampler.refresh(q_feats, g_feats, subset,
                                              jaccard_rows=jaccard_rows)
                 tuples = _apply_iters_cap(tuples, getattr(cfg, "iters", 0),
                                           cfg.tuple_size)
+                local_tuples, local_ts = _local_tuple_stream(
+                    tuples, cfg.tuple_size
+                )
                 sources["tuple"].transform.reseed(cfg.seed, gen, epoch, subid)
-                loader = TupleLoader(sources["tuple"], tuples, cfg.tuple_size,
+                loader = TupleLoader(sources["tuple"], local_tuples, local_ts,
                                      prefetch=pf)
                 jitter_key = jax.random.fold_in(jax.random.fold_in(
                     jax.random.fold_in(jax.random.PRNGKey(cfg.seed), gen),
@@ -521,27 +554,31 @@ def run_sfrs_training(cfg, mesh=None, verbose=True, timer=None):
             if not ((epoch + 1) % cfg.eval_step == 0 or epoch == cfg.epochs - 1):
                 continue  # eval/checkpoint cadence (netvlad_img_sfrs.py:210)
             with timer.phase("eval"):
-                recalls = evaluator.evaluate(
-                    params,
-                    BatchLoader(sources["q_val"], batch_size=bs, prefetch=pf),
-                    BatchLoader(sources["db_val"], batch_size=bs, prefetch=pf),
-                    dataset.val_pos,
+                recalls = evaluator.evaluate_sources(
+                    params, sources["q_val"], sources["db_val"],
+                    dataset.val_pos, batch_size=bs, prefetch=pf,
+                    print_results=verbose,
                 )
             is_best = recalls[1] > best_recall5
             best_recall5 = max(recalls[1], best_recall5)
-            save_checkpoint(
-                osp.join(cfg.logs_dir, f"checkpoint{gen}_{epoch}.npz"),
-                {"params": params, "opt_state": opt_state,
-                 "teacher": teacher, "neg_cache": sampler.neg_cache},
-                {"epoch": epoch, "generation": gen,
-                 "best_recall5": float(best_recall5)},
-                is_best=is_best,
-            )
+            if is_main:  # rank-0 checkpointing (shared-FS safe)
+                save_checkpoint(
+                    osp.join(cfg.logs_dir, f"checkpoint{gen}_{epoch}.npz"),
+                    {"params": params, "opt_state": opt_state,
+                     "teacher": teacher, "neg_cache": sampler.neg_cache},
+                    {"epoch": epoch, "generation": gen,
+                     "best_recall5": float(best_recall5)},
+                    is_best=is_best,
+                )
             if verbose:
                 print(f" * gen {gen} epoch {epoch} recall@1/5/10: "
                       f"{recalls[0]:.1%}/{recalls[1]:.1%}/{recalls[2]:.1%}"
                       f"{' *' if is_best else ''}")
 
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("openibl:sfrs_ckpt_final")
     best_path = osp.join(cfg.logs_dir, "model_best.npz")
     if osp.isfile(best_path):
         loaded, _ = load_checkpoint(best_path, {"params": params})

@@ -21,7 +21,7 @@ import optax
 
 from openibl_tpu.ops.losses import sfrs_hard_loss, sfrs_soft_loss
 from openibl_tpu.engine.trainer import make_optimizer, set_learning_rate, steplr
-from openibl_tpu.parallel.mesh import data_sharding, replicated
+from openibl_tpu.parallel.mesh import data_sharding, global_batch, replicated
 
 DEFAULT_TEMPS = (0.07, 0.07, 0.06, 0.05)  # scripts/train_sfrs_dist.sh:27
 
@@ -51,6 +51,20 @@ class SFRSTrainer:
         )
         self.tx = None
         self._steps = {}
+
+    def _device_batch(self, x):
+        """Host rows → device batch; assembles the multi-host global batch
+        when a mesh is present (see Trainer._device_batch)."""
+        if self.mesh is None:
+            return jnp.asarray(x)
+        return global_batch(self.mesh, x)
+
+    def _device_key(self, key):
+        """See Trainer._device_key: multi-host jits need host (or global)
+        key arrays, not process-local device arrays."""
+        if self.mesh is None or jax.process_count() == 1:
+            return key
+        return np.asarray(key)
 
     def check_batch_shape(self, tuple_size):
         """Fail fast on a tuple batch the mesh can't shard."""
@@ -178,25 +192,39 @@ class SFRSTrainer:
 
         if self.device_jitter and rng_key is None:
             raise ValueError("device_jitter training needs rng_key")
+        if self.mesh is not None:
+            from openibl_tpu.parallel.mesh import globalize_tree
+
+            params = globalize_tree(self.mesh, params)
+            teacher_params = globalize_tree(self.mesh, teacher_params)
+            opt_state = globalize_tree(self.mesh, opt_state)
         step = self.step_fn(gen)
         l_hard, l_soft, batch_time = AverageMeter(), AverageMeter(), AverageMeter()
         end = time.time()
         for i, images in enumerate(tuple_loader):
             if self.device_jitter:
                 params, opt_state, lh, ls = step(
-                    params, teacher_params, opt_state, jnp.asarray(images),
-                    jax.random.fold_in(rng_key, i),
+                    params, teacher_params, opt_state,
+                    self._device_batch(images),
+                    self._device_key(jax.random.fold_in(rng_key, i)),
                 )
             else:
-                easy, diff = self.split_tuple_images(jnp.asarray(images))
+                # split on host: in multi-host runs each part is assembled
+                # into its own global sharded array
+                images = np.asarray(images)
+                easy = images[:, : self.neg_num + 2]
+                diff = np.concatenate(
+                    [images[:, :1], images[:, self.neg_num + 2 :]], axis=1
+                )
                 params, opt_state, lh, ls = step(
-                    params, teacher_params, opt_state, easy, diff
+                    params, teacher_params, opt_state,
+                    self._device_batch(easy), self._device_batch(diff)
                 )
             l_hard.update(float(lh))
             l_soft.update(float(ls))
             batch_time.update(time.time() - end)
             end = time.time()
-            if (i + 1) % print_freq == 0:
+            if (i + 1) % print_freq == 0 and jax.process_index() == 0:
                 print(
                     f"{log_prefix}[{i + 1}/{len(tuple_loader)}] "
                     f"Time {batch_time.val:.3f} ({batch_time.avg:.3f}) "

@@ -19,7 +19,9 @@ import numpy as np
 import optax
 
 from openibl_tpu.ops.losses import tuple_loss
-from openibl_tpu.parallel.mesh import data_sharding, replicated
+from openibl_tpu.parallel.mesh import (
+    data_sharding, global_batch, globalize_tree, replicated,
+)
 
 
 def device_jitter_batch(images, key, jitter_params=(0.7, 0.7, 0.7, 0.5)):
@@ -130,6 +132,22 @@ class Trainer:
                 f"size ({self.mesh.size}) for data-parallel sharding"
             )
 
+    def _device_batch(self, images):
+        """Host rows → device batch. With a mesh this also assembles the
+        multi-host global batch (each process passes its tuple-stream slice,
+        data.sampler.shard_tuples)."""
+        if self.mesh is None:
+            return jnp.asarray(images)
+        return global_batch(self.mesh, images)
+
+    def _device_key(self, key):
+        """Multi-host jits reject device arrays committed to one process's
+        device; a host copy (identical on every process) is placed replicated
+        by the jit's in_shardings."""
+        if self.mesh is None or jax.process_count() == 1:
+            return key
+        return np.asarray(key)
+
     def _loss_fn(self, params, images, jitter_key=None):
         t, g = images.shape[:2]
         flat = images.reshape((t * g,) + images.shape[2:])
@@ -186,8 +204,9 @@ class Trainer:
         if self.device_jitter:
             if key is None:
                 raise ValueError("device_jitter trainer needs a PRNG key")
-            return self._step(params, opt_state, images, key)
-        return self._step(params, opt_state, images)
+            return self._step(params, opt_state, self._device_batch(images),
+                              self._device_key(key))
+        return self._step(params, opt_state, self._device_batch(images))
 
     def set_epoch_lr(self, opt_state, epoch, step_size, gamma=0.5):
         return set_learning_rate(
@@ -206,22 +225,27 @@ class Trainer:
 
         if self.device_jitter and rng_key is None:
             raise ValueError("device_jitter training needs rng_key")
+        if self.mesh is not None:
+            # multi-host: init/resume/LR-mutated leaves become global arrays
+            # (no-op single-process, no-op for already-global leaves)
+            params = globalize_tree(self.mesh, params)
+            opt_state = globalize_tree(self.mesh, opt_state)
         losses, batch_time = AverageMeter(), AverageMeter()
         end = time.time()
         for i, images in enumerate(tuple_loader):
             if self.device_jitter:
                 params, opt_state, loss = self._step(
-                    params, opt_state, jnp.asarray(images),
-                    jax.random.fold_in(rng_key, i),
+                    params, opt_state, self._device_batch(images),
+                    self._device_key(jax.random.fold_in(rng_key, i)),
                 )
             else:
                 params, opt_state, loss = self._step(
-                    params, opt_state, jnp.asarray(images)
+                    params, opt_state, self._device_batch(images)
                 )
             losses.update(float(loss))
             batch_time.update(time.time() - end)
             end = time.time()
-            if (i + 1) % print_freq == 0:
+            if (i + 1) % print_freq == 0 and jax.process_index() == 0:
                 print(
                     f"{log_prefix}[{i + 1}/{len(tuple_loader)}] "
                     f"Time {batch_time.val:.3f} ({batch_time.avg:.3f}) "

@@ -131,14 +131,17 @@ def extract_features(apply_fn, params, loader, mesh=None, pca=None,
 
 def extract_features_sharded(apply_fn, params, source, indices=None,
                              batch_size=32, mesh=None, pca=None,
-                             feature="vlad", verbose=False):
+                             feature="vlad", verbose=False, prefetch=2):
     """Multi-host-aware extraction.
 
     Single process: one sharded-over-mesh pass. Multi-host (DCN): each process
     extracts its contiguous slice (data.sampler.slice_indices — same
     reassembly convention as the reference's DistributedSliceSampler +
-    broadcast, evaluators.py:88-101) and features are all-gathered across
-    hosts. Returns (N, D) in dataset order on every host.
+    broadcast, evaluators.py:88-101) on its addressable sub-mesh, and features
+    are all-gathered across hosts. Returns (N, D) in dataset order on every
+    host. A global (multi-process) ``mesh`` is reduced to this process's
+    sub-mesh automatically — per-host batches can't shard over devices this
+    host doesn't own.
     """
     import jax as _jax
 
@@ -150,12 +153,19 @@ def extract_features_sharded(apply_fn, params, source, indices=None,
     indices = np.asarray(indices)
     n_proc = _jax.process_count()
     if n_proc == 1:
-        loader = BatchLoader(source, indices, batch_size)
+        loader = BatchLoader(source, indices, batch_size, prefetch=prefetch)
         return extract_features(apply_fn, params, loader, mesh=mesh, pca=pca,
                                 feature=feature, verbose=verbose)
 
+    from openibl_tpu.parallel.mesh import local_view_tree, process_local_mesh
+
+    if mesh is not None:
+        mesh = process_local_mesh(mesh)
+    # params may be global replicated arrays mid-training; the per-host jit
+    # reads the local replica (no cross-host traffic)
+    params = local_view_tree(params)
     mine = slice_indices(len(indices), n_proc, _jax.process_index())
-    loader = BatchLoader(source, indices[mine], batch_size)
+    loader = BatchLoader(source, indices[mine], batch_size, prefetch=prefetch)
     # emission order (sort=False): positional reassembly — the wrap-around
     # padding on the last shard makes index-sorted order wrong here
     local = extract_features(apply_fn, params, loader, mesh=mesh, pca=pca,

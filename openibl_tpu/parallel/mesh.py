@@ -61,6 +61,89 @@ def get_mesh(n_devices=None, devices=None, axis=DATA_AXIS):
     return Mesh(np.asarray(devices), (axis,))
 
 
+def process_local_mesh(mesh=None, axis=DATA_AXIS):
+    """Sub-mesh of this process's addressable devices.
+
+    Per-host compute phases that reassemble over DCN (sharded extraction,
+    redundant eval kNN) run on this mesh: jitting over the global mesh would
+    require globally-sharded inputs, while these phases feed host-local
+    arrays. Single-process: returns ``mesh`` unchanged (or a fresh local
+    mesh when None)."""
+    if mesh is not None and jax.process_count() == 1:
+        return mesh
+    devs = mesh.devices.ravel() if mesh is not None else np.asarray(jax.devices())
+    local = [d for d in devs if d.process_index == jax.process_index()]
+    names = mesh.axis_names if mesh is not None else (axis,)
+    return Mesh(np.asarray(local), names)
+
+
+def global_batch(mesh, x, axis=DATA_AXIS):
+    """This process's rows → a global jax.Array sharded on dim 0.
+
+    The multi-host analog of the reference's per-rank DataLoader shard
+    (ibl/utils/data/sampler.py:62-71): each process passes its slice of the
+    global batch and the returned Array spans the whole mesh — the jitted
+    step then runs SPMD with XLA inserting the DCN/ICI collectives.
+    Single-process this is just a sharded device_put."""
+    x = np.asarray(x)
+    sharding = data_sharding(mesh, x.ndim, axis)
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    return jax.make_array_from_process_local_data(sharding, x)
+
+
+def globalize_tree(mesh, tree):
+    """Make every leaf a fully-replicated global array over ``mesh``.
+
+    Multi-host jitted steps require global jax.Arrays for every argument;
+    model init / checkpoint load / host-side LR mutation produce process-
+    local leaves. Leaves that are already global (outputs of a previous
+    step) pass through untouched, so per-epoch cost is only the handful of
+    host-mutated leaves. Single-process: identity (the jit's in_shardings
+    place local arrays fine)."""
+    if jax.process_count() == 1:
+        return tree
+    rep = NamedSharding(mesh, P())
+
+    def fix(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return x  # already global
+        arr = np.asarray(x)
+        return jax.make_array_from_process_local_data(rep, arr, arr.shape)
+
+    return jax.tree.map(fix, tree)
+
+
+def local_view_tree(tree):
+    """Global fully-replicated leaves → host arrays.
+
+    Per-host compute phases (sharded extraction on the process-local mesh)
+    cannot consume global arrays; a fully-replicated global array's local
+    replica is host-readable with no cross-host traffic. Local leaves pass
+    through untouched."""
+
+    def fix(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return np.asarray(x)
+        return x
+
+    return jax.tree.map(fix, tree)
+
+
+def copy_tree(tree):
+    """Deep copy that never aliases soon-to-be-donated device buffers.
+
+    Single-process: on-device copies (jnp.array — NOT jnp.asarray, which
+    aliases; see build notes). Multi-process: host copies of the local
+    replica (jnp.array of a non-addressable global array is not allowed);
+    the trainers re-globalize them on the next step."""
+    if jax.process_count() == 1:
+        import jax.numpy as jnp
+
+        return jax.tree.map(jnp.array, tree)
+    return jax.tree.map(lambda x: np.array(x), tree)
+
+
 def data_sharding(mesh, ndim, axis=DATA_AXIS):
     """Shard dim 0 over the data axis, replicate the rest."""
     spec = [axis] + [None] * (ndim - 1)

@@ -9,7 +9,9 @@ from openibl_tpu import data as datasets
 from openibl_tpu.data import transforms as T
 from openibl_tpu.data.dataset import get_groundtruth, radius_neighbors
 from openibl_tpu.data.loader import ImageSource, BatchLoader, TupleLoader
-from openibl_tpu.data.sampler import TupleSampler, DiffTupleSampler, slice_indices
+from openibl_tpu.data.sampler import (
+    TupleSampler, DiffTupleSampler, shard_tuples, slice_indices,
+)
 
 
 @pytest.fixture(scope="module")
@@ -178,6 +180,25 @@ class TestSamplers:
         assert all(len(o) == 3 for o in out)
         flat = np.concatenate(out)
         assert set(flat.tolist()) == set(range(10))
+
+    def test_shard_tuples_reassembles_to_global_batches(self):
+        """Multi-host tuple split: the process-order concat of the local
+        batches must equal the (cycle-padded) global batch stream — that is
+        exactly how global_batch assembles the train batch across hosts."""
+        tuples = [[i, 100 + i] for i in range(10)]
+        s0 = shard_tuples(tuples, 4, 2, 0)
+        s1 = shard_tuples(tuples, 4, 2, 1)
+        assert len(s0) == len(s1) == 6  # padded to 12 tuples, 3 global batches
+        padded = tuples + tuples[:2]
+        rebuilt = []
+        for b in range(3):
+            rebuilt += s0[b * 2 : (b + 1) * 2] + s1[b * 2 : (b + 1) * 2]
+        assert rebuilt == padded
+        # a stream shorter than one global batch cycles up to a full batch
+        assert len(shard_tuples(tuples[:1], 4, 2, 0)) == 2
+        assert shard_tuples([], 4, 2, 0) == []
+        with pytest.raises(ValueError):
+            shard_tuples(tuples, 3, 2, 0)
 
     def test_candidate_sampling_scales_to_250k(self):
         """VERDICT r2 #7: candidate sampling at Pitts250k mining scale (84k

@@ -61,6 +61,118 @@ def _free_port():
         return s.getsockname()[1]
 
 
+# shared by the in-process single-mesh reference run and the 2-process
+# workers: any config drift would invalidate the parity assertion.
+# device_jitter=True so augmentation is a pure function of the global batch
+# (host PIL jitter consumes per-process RNG streams and cannot match).
+CFG_SNIPPET = textwrap.dedent("""
+    from openibl_tpu.config import TrainConfig, DataConfig
+
+    def make_cfg(data_dir, logs_dir):
+        return TrainConfig(
+            data=DataConfig(dataset="synthetic", scale=None,
+                            data_dir=data_dir, height=32, width=48,
+                            test_batch_size=8),
+            num_clusters=8, loss_type="sare_ind", tuple_size=2, neg_num=2,
+            neg_pool=5, cache_size=16, iters=2, epochs=1, eval_step=1,
+            pca_dim=16, logs_dir=logs_dir, init_dir=logs_dir,
+            print_freq=100, seed=0, device_jitter=True,
+        )
+""")
+
+TRAIN_WORKER = textwrap.dedent("""
+    import sys, os
+    os.environ.pop("XLA_FLAGS", None)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    port, pid, data_dir, logs_dir, out = sys.argv[1:6]
+    jax.distributed.initialize(coordinator_address=f"localhost:{port}",
+                               num_processes=2, process_id=int(pid))
+    assert jax.process_count() == 2
+    sys.path.insert(0, %r)
+    import numpy as np
+    import jax.tree_util as jtu
+""") + CFG_SNIPPET + textwrap.dedent("""
+    from openibl_tpu.engine.pipeline import run_baseline_training
+    from openibl_tpu.parallel.mesh import get_mesh
+
+    mesh = get_mesh()
+    assert mesh.size == 2, mesh
+    cfg = make_cfg(data_dir, logs_dir)
+    params, recalls, history = run_baseline_training(cfg, mesh=mesh)
+    leaves = jtu.tree_flatten_with_path(params)[0]
+    np.savez(out, __recalls__=np.asarray(recalls),
+             **{jtu.keystr(k): np.asarray(v) for k, v in leaves})
+    print("train worker done", flush=True)
+""")
+
+
+@pytest.mark.slow
+def test_multihost_training_matches_single_process(tmp_path):
+    """VERDICT r2 #3: the full mining -> tuple-shard -> global-batch train ->
+    eval -> checkpoint pipeline across TWO processes must produce the same
+    trained model as the identical single-process run on a 2-device mesh
+    (the reference's DDP semantics: per-rank tuple split, identical total
+    batch, ibl/utils/data/sampler.py:62-71)."""
+    import jax
+    import jax.tree_util as jtu
+
+    # pre-create the synthetic dataset once: workers share it read-only
+    sys.path.insert(0, REPO)
+    from openibl_tpu import data as datasets
+
+    data_dir = tmp_path / "data"
+    datasets.create("synthetic", str(data_dir / "synthetic"))
+
+    # single-process reference on a 2-device mesh (conftest's virtual CPUs)
+    ns = {}
+    exec(CFG_SNIPPET, ns)
+    from openibl_tpu.engine.pipeline import run_baseline_training
+    from openibl_tpu.parallel.mesh import get_mesh
+
+    cfg = ns["make_cfg"](str(data_dir), str(tmp_path / "logs_single"))
+    params_s, recalls_s, _ = run_baseline_training(
+        cfg, mesh=get_mesh(n_devices=2), verbose=False
+    )
+    single = {
+        jtu.keystr(k): np.asarray(v)
+        for k, v in jtu.tree_flatten_with_path(params_s)[0]
+    }
+
+    # the same flow across 2 processes (1 CPU device each, shared logs dir)
+    port = str(_free_port())
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith(("SLURM_", "JAX_COORDINATOR"))}
+    outs = [str(tmp_path / f"out{i}.npz") for i in range(2)]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", TRAIN_WORKER % REPO, port, str(i),
+             str(data_dir), str(tmp_path / "logs_multi"), outs[i]],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, env=env, cwd=REPO,
+        )
+        for i in range(2)
+    ]
+    logs = [p.communicate(timeout=1500)[0] for p in procs]
+    for i, (p, log) in enumerate(zip(procs, logs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{log[-4000:]}"
+        assert "train worker done" in log
+
+    multi = [dict(np.load(o)) for o in outs]
+    # both processes must agree exactly (replicated params, same stream)
+    for key in multi[0]:
+        np.testing.assert_array_equal(multi[0][key], multi[1][key])
+    # and match the single-process model up to collective reduction order
+    assert set(single) == set(multi[0]) - {"__recalls__"}
+    for key, want in single.items():
+        np.testing.assert_allclose(
+            multi[0][key], want, rtol=2e-4, atol=2e-5,
+            err_msg=f"param {key} diverged between 1- and 2-process runs",
+        )
+    np.testing.assert_allclose(multi[0]["__recalls__"],
+                               np.asarray(recalls_s), atol=1e-6)
+
+
 @pytest.mark.slow
 def test_extract_features_sharded_two_processes():
     port = str(_free_port())
