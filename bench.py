@@ -128,18 +128,19 @@ def main():
             # throughput rather than the ~33 ms per-dispatch floor that
             # dominates the synchronous p50.
             n = max(args.iters, 50)
+            depth = 9  # max queries in flight at once
             t0 = time.perf_counter()
             pending = []
             for _ in range(n):
                 pending.append(query(params, img, gallery)[1])
-                if len(pending) > 8:
+                if len(pending) >= depth:
                     np.asarray(pending.pop(0))
             for pr in pending:
                 np.asarray(pr)
             amort = (time.perf_counter() - t0) / n * 1000
             print(json.dumps({
                 "metric": (f"query_amortized_ms_{args.gallery_size}gallery"
-                           f"_{n}inflight"),
+                           f"_{n}iters_depth{depth}"),
                 "value": round(amort, 2),
                 "unit": "ms",
                 "vs_baseline": round(REFERENCE_GPU_QUERY_MS / amort, 2),

@@ -87,5 +87,7 @@ class EvalConfig:
     num_clusters: int = 64
     arch: str = "vgg16"
     compute_dtype: str = "float32"  # or "bfloat16" — match the training dtype
-    pca_dataset: str = ""  # dataset whose train split fits PCA ('' = same)
+    # dataset whose train split fits on-demand PCA ('' = pitts for
+    # pitts/tokyo evals, matching reference test.py:36-41; else same-dataset)
+    pca_dataset: str = ""
     pca_scale: str = ""

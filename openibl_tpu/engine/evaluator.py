@@ -111,18 +111,16 @@ def evaluate_descriptors(q_feats, g_feats, ground_truth, gallery_pids=None,
             lambda_value=lambda_value, k_out=k_need,
         )
     else:
-        from openibl_tpu.ops.rerank import re_ranking
+        from openibl_tpu.ops.rerank import composite_rank_key, re_ranking
 
         d_qg = np.asarray(pairwise_sqdist(q_feats, g_feats))
         d_qq = np.asarray(pairwise_sqdist(q_feats, q_feats))
         d_gg = np.asarray(pairwise_sqdist(g_feats, g_feats))
         final = re_ranking(d_qg, d_qq, d_gg, k1=rr_topk, k2=1,
                            lambda_value=lambda_value)
-        # same float64 original-distance tie-break as the streaming path,
-        # so results are identical on either side of the size threshold
-        key = final.astype(np.float64) + (
-            d_qg / (d_qg.max() + 1.0)
-        ).astype(np.float64) * 1e-12
+        # same float64 original-distance tie-break key as the streaming
+        # path, so results are identical on either side of the threshold
+        key = composite_rank_key(final, d_qg)
         order = np.argsort(key, axis=1)[:, :k_need]
     recalls = recalls_from_ranks(order, ground_truth, gallery_pids, topk, nms)
     if print_results:

@@ -25,7 +25,25 @@ import jax.numpy as jnp
 from openibl_tpu import data as datasets
 from openibl_tpu import models
 from openibl_tpu.data.loader import ImageSource, BatchLoader, TupleLoader
-from openibl_tpu.data.sampler import TupleSampler, DiffTupleSampler
+from openibl_tpu.data.sampler import (
+    TupleSampler, DiffTupleSampler, shard_tuples,
+)
+from openibl_tpu.data.transforms import TrainTransform, TestTransform
+from openibl_tpu.engine.evaluator import Evaluator
+from openibl_tpu.engine.trainer import Trainer
+from openibl_tpu.engine.sfrs import SFRSTrainer
+from openibl_tpu.ops import pca as pca_ops
+from openibl_tpu.ops.distance import pairwise_sqdist
+from openibl_tpu.ops.kmeans import kmeans
+from openibl_tpu.parallel.extract import (
+    extract_features, extract_features_sharded,
+)
+from openibl_tpu.utils.checkpoint import save_checkpoint, load_checkpoint
+from openibl_tpu.utils.profiling import PhaseTimer
+from openibl_tpu.utils.watchdog import Watchdog
+
+# warns loudly on hung device phases (tunnel/compile/collective stalls)
+_WATCHDOG = Watchdog(warn_after=600.0)
 
 
 def _local_tuple_stream(tuples, tuple_size):
@@ -42,23 +60,6 @@ def _local_tuple_stream(tuples, tuple_size):
         return tuples, tuple_size
     local = shard_tuples(tuples, tuple_size, n_proc, jax.process_index())
     return local, tuple_size // n_proc
-from openibl_tpu.data.transforms import TrainTransform, TestTransform
-from openibl_tpu.engine.evaluator import Evaluator
-from openibl_tpu.engine.trainer import Trainer
-from openibl_tpu.engine.sfrs import SFRSTrainer
-from openibl_tpu.ops import pca as pca_ops
-from openibl_tpu.ops.distance import pairwise_sqdist
-from openibl_tpu.ops.kmeans import kmeans
-from openibl_tpu.parallel.extract import (
-    extract_features, extract_features_sharded,
-)
-from openibl_tpu.data.sampler import shard_tuples
-from openibl_tpu.utils.checkpoint import save_checkpoint, load_checkpoint
-from openibl_tpu.utils.profiling import PhaseTimer
-from openibl_tpu.utils.watchdog import Watchdog
-
-# warns loudly on hung device phases (tunnel/compile/collective stalls)
-_WATCHDOG = Watchdog(warn_after=600.0)
 
 
 def _apply_iters_cap(tuples, iters, tuple_size):
@@ -633,15 +634,25 @@ def run_eval(cfg, mesh=None, train_cfg=None, verbose=True):
 
     pca = None
     if cfg.reduction:
+        # default params path matches both our trainer's finalize_with_pca
+        # output and the reference convention (test.py:109:
+        # pca_params_<checkpoint stem>.h5 next to the checkpoint)
+        ckpt_stem = osp.basename(cfg.checkpoint).split(".")[0] or "model"
         pca_path = cfg.pca_params or osp.join(
-            osp.dirname(cfg.checkpoint) or ".", "pca_params.h5"
+            osp.dirname(cfg.checkpoint) or ".", f"pca_params_{ckpt_stem}.h5"
         )
         pca = pca_ops.PCA(cfg.pca_dim, whiten=getattr(cfg, "whiten", True),
                           params_path=pca_path)
         if not osp.isfile(pca_path):
-            # compute PCA from the training split of the PCA source dataset
-            # on demand (reference test.py:108-121 uses Pitts30k-train)
-            src_name = getattr(cfg, "pca_dataset", None) or cfg.data.dataset
+            # compute PCA on demand. The reference fits on Pitts30k-train
+            # regardless of the eval dataset (test.py:36-41,112-119) so the
+            # whitening basis matches every published row; keep that rule for
+            # the reference's datasets, and stay self-contained for custom
+            # ones (override with pca_dataset/pca_scale either way).
+            src_name = getattr(cfg, "pca_dataset", None) or (
+                "pitts" if cfg.data.dataset in ("pitts", "tokyo")
+                else cfg.data.dataset
+            )
             src_scale = getattr(cfg, "pca_scale", None) or (
                 "30k" if src_name == "pitts" else cfg.data.scale
             )

@@ -20,13 +20,18 @@ import numpy as np
 import optax
 
 from openibl_tpu.ops.losses import sfrs_hard_loss, sfrs_soft_loss
-from openibl_tpu.engine.trainer import make_optimizer, set_learning_rate, steplr
+from openibl_tpu.engine.trainer import (
+    MeshBatchMixin,
+    make_optimizer,
+    set_learning_rate,
+    steplr,
+)
 from openibl_tpu.parallel.mesh import data_sharding, global_batch, replicated
 
 DEFAULT_TEMPS = (0.07, 0.07, 0.06, 0.05)  # scripts/train_sfrs_dist.sh:27
 
 
-class SFRSTrainer:
+class SFRSTrainer(MeshBatchMixin):
     def __init__(self, model, loss_type="sare_ind", margin=np.sqrt(0.1),
                  temps=DEFAULT_TEMPS, soft_weight=0.5, neg_num=10,
                  lr=1e-3, momentum=0.9, weight_decay=1e-3, mesh=None,
@@ -51,28 +56,6 @@ class SFRSTrainer:
         )
         self.tx = None
         self._steps = {}
-
-    def _device_batch(self, x):
-        """Host rows → device batch; assembles the multi-host global batch
-        when a mesh is present (see Trainer._device_batch)."""
-        if self.mesh is None:
-            return jnp.asarray(x)
-        return global_batch(self.mesh, x)
-
-    def _device_key(self, key):
-        """See Trainer._device_key: multi-host jits need host (or global)
-        key arrays, not process-local device arrays."""
-        if self.mesh is None or jax.process_count() == 1:
-            return key
-        return np.asarray(key)
-
-    def check_batch_shape(self, tuple_size):
-        """Fail fast on a tuple batch the mesh can't shard."""
-        if self.mesh is not None and tuple_size % self.mesh.size:
-            raise ValueError(
-                f"tuple_size={tuple_size} must be a multiple of the mesh "
-                f"size ({self.mesh.size}) for data-parallel sharding"
-            )
 
     def init_generation(self, params):
         """Fresh optimizer per generation (netvlad_img_sfrs.py:183-185)."""
@@ -176,11 +159,12 @@ class SFRSTrainer:
             opt_state, steplr(self.base_lr, epoch, step_size, gamma)
         )
 
-    def split_tuple_images(self, images):
+    def split_tuple_images(self, images, xp=jnp):
         """(T, 2+neg+pos, H, W, 3) → easy (T, 2+neg), diff (T, 1+pos) views
-        (reference _parse_data, trainers.py:228-233)."""
+        (reference _parse_data, trainers.py:228-233). Pass ``xp=np`` to split
+        on host before building per-part multi-host global arrays."""
         easy = images[:, : self.neg_num + 2]
-        diff = jnp.concatenate(
+        diff = xp.concatenate(
             [images[:, :1], images[:, self.neg_num + 2 :]], axis=1
         )
         return easy, diff
@@ -211,11 +195,8 @@ class SFRSTrainer:
             else:
                 # split on host: in multi-host runs each part is assembled
                 # into its own global sharded array
-                images = np.asarray(images)
-                easy = images[:, : self.neg_num + 2]
-                diff = np.concatenate(
-                    [images[:, :1], images[:, self.neg_num + 2 :]], axis=1
-                )
+                easy, diff = self.split_tuple_images(np.asarray(images),
+                                                     xp=np)
                 params, opt_state, lh, ls = step(
                     params, teacher_params, opt_state,
                     self._device_batch(easy), self._device_batch(diff)

@@ -89,7 +89,36 @@ def steplr(base_lr, epoch, step_size, gamma=0.5):
     return base_lr * (gamma ** (epoch // step_size))
 
 
-class Trainer:
+class MeshBatchMixin:
+    """Multi-host batch/key placement shared by the trainers (expects a
+    ``self.mesh`` attribute, None for single-process)."""
+
+    def check_batch_shape(self, tuple_size):
+        """Fail fast on a tuple batch the mesh can't shard."""
+        if self.mesh is not None and tuple_size % self.mesh.size:
+            raise ValueError(
+                f"tuple_size={tuple_size} must be a multiple of the mesh "
+                f"size ({self.mesh.size}) for data-parallel sharding"
+            )
+
+    def _device_batch(self, images):
+        """Host rows → device batch. With a mesh this also assembles the
+        multi-host global batch (each process passes its tuple-stream slice,
+        data.sampler.shard_tuples)."""
+        if self.mesh is None:
+            return jnp.asarray(images)
+        return global_batch(self.mesh, images)
+
+    def _device_key(self, key):
+        """Multi-host jits reject device arrays committed to one process's
+        device; a host copy (identical on every process) is placed replicated
+        by the jit's in_shardings."""
+        if self.mesh is None or jax.process_count() == 1:
+            return key
+        return np.asarray(key)
+
+
+class Trainer(MeshBatchMixin):
     """Owns the jitted train step; state (params, opt_state) stays functional."""
 
     def __init__(self, model, loss_type="triplet", margin=np.sqrt(0.1),
@@ -123,30 +152,6 @@ class Trainer:
         opt_state = self.tx.init(params)
         self._step = self._build_step()
         return opt_state
-
-    def check_batch_shape(self, tuple_size):
-        """Fail fast on a tuple batch the mesh can't shard."""
-        if self.mesh is not None and tuple_size % self.mesh.size:
-            raise ValueError(
-                f"tuple_size={tuple_size} must be a multiple of the mesh "
-                f"size ({self.mesh.size}) for data-parallel sharding"
-            )
-
-    def _device_batch(self, images):
-        """Host rows → device batch. With a mesh this also assembles the
-        multi-host global batch (each process passes its tuple-stream slice,
-        data.sampler.shard_tuples)."""
-        if self.mesh is None:
-            return jnp.asarray(images)
-        return global_batch(self.mesh, images)
-
-    def _device_key(self, key):
-        """Multi-host jits reject device arrays committed to one process's
-        device; a host copy (identical on every process) is placed replicated
-        by the jit's in_shardings."""
-        if self.mesh is None or jax.process_count() == 1:
-            return key
-        return np.asarray(key)
 
     def _loss_fn(self, params, images, jitter_key=None):
         t, g = images.shape[:2]

@@ -209,6 +209,7 @@ def _pad_pow2(x, lo=8):
 # above this per-column occupancy the padded device kernel wastes more than
 # it gains; fall back to the host sparse loop
 _MAX_COL_OCCUPANCY = 4096
+_DEVICE_TABLE_BUDGET_BYTES = 4 * 1024**3
 
 
 class JaccardEngine:
@@ -277,19 +278,26 @@ class JaccardEngine:
 
             ccounts = np.bincount(self.cols, minlength=self.n)
             p = _pad_pow2(int(ccounts.max()) if len(self.cols) else 1)
-            if p > _MAX_COL_OCCUPANCY:
-                if sp is None:
-                    # hub-heavy columns: the (n, p) padded CSC tables would
-                    # be tens of GB at Pitts250k-union scale — fail loudly
-                    # rather than OOM
-                    raise MemoryError(
-                        f"degenerate V-column occupancy (padded width {p} > "
-                        f"{_MAX_COL_OCCUPANCY}) makes the padded device "
-                        f"Jaccard tables ~{self.n * p * 8 / 1e9:.1f} GB and "
-                        "scipy is unavailable for the sparse host fallback; "
-                        "install scipy or reduce k1"
-                    )
+            table_bytes = self.n * p * 8  # int32 rows + f32 vals
+            oversized = (p > _MAX_COL_OCCUPANCY
+                         or table_bytes > _DEVICE_TABLE_BUDGET_BYTES)
+            if oversized and sp is not None:
+                # hub-heavy columns (or a huge union) make the padded
+                # tables wasteful relative to the sparse FLOP count —
+                # prefer the scipy loop
                 self._dev = "host"
+            elif table_bytes > _DEVICE_TABLE_BUDGET_BYTES:
+                # without scipy, still build modest tables past the
+                # occupancy heuristic; only a genuinely huge allocation
+                # (degenerate occupancy at large n) fails loudly rather
+                # than OOMing the host/device
+                raise MemoryError(
+                    f"degenerate V-column occupancy (padded width {p}) "
+                    f"makes the padded device Jaccard tables "
+                    f"~{table_bytes / 1e9:.1f} GB and scipy is unavailable "
+                    "for the sparse host fallback; install scipy or "
+                    "reduce k1"
+                )
             else:
                 corder = np.argsort(self.cols, kind="stable")
                 cstarts = np.concatenate([[0], np.cumsum(ccounts)])
@@ -390,6 +398,27 @@ def jaccard_for_queries(rows, cols, vals, n, query_rows, query_chunk=512,
     )
 
 
+def composite_rank_key(final, orig):
+    """float64 ranking key: final (Jaccard-mixed) distance first, original
+    feature distance as tie-break.
+
+    The tie-break term for each element is scaled to 1e-3 of the f32 spacing
+    at that element's own magnitude. Two *distinct* f32 finals a < b satisfy
+    b - a >= spacing(a), while a's perturbation stays < spacing(a) * 1e-3 —
+    so genuine final-distance differences dominate at every magnitude
+    (a per-row or fixed scale can overpower one-ulp gaps between row entries
+    far below the row max). Exactly-tied finals (the zero-overlap Jaccard
+    tail at 1.0) share a scale and are ordered by the feature-distance
+    fraction. Used by both the streaming and the materialized rerank paths
+    so results agree on either side of the memory threshold.
+    """
+    frac = (orig / (orig.max() + 1.0)).astype(np.float64)
+    scale = np.spacing(
+        np.maximum(np.abs(final), 1e-30).astype(np.float32)
+    ).astype(np.float64) * 1e-3
+    return final.astype(np.float64) + frac * scale
+
+
 def rerank_ranks_streaming(q_feats, g_feats, k1=25, k2=1, lambda_value=0.0,
                            k_out=None, pair_chunk=1 << 16, query_chunk=1024):
     """k-reciprocal re-ranking at gallery scales where no N x N matrix fits.
@@ -408,9 +437,8 @@ def rerank_ranks_streaming(q_feats, g_feats, k1=25, k2=1, lambda_value=0.0,
     Ties (queries sharing zero V-overlap with a gallery item get identical
     Jaccard distance 1.0) are broken by the original feature distance — a
     deterministic, semantically meaningful order (it is exactly what
-    re_ranking's lambda_value > 0 mixing does in the limit λ→0), applied as
-    a sub-1e-12 float64 key perturbation so any genuine Jaccard difference
-    still dominates.
+    re_ranking's lambda_value > 0 mixing does in the limit λ→0), applied via
+    ``composite_rank_key`` so any genuine Jaccard difference still dominates.
 
     Returns (indices (Q, k_out) int64 into the gallery, final dists (Q, k_out)).
     """
@@ -461,19 +489,7 @@ def rerank_ranks_streaming(q_feats, g_feats, k1=25, k2=1, lambda_value=0.0,
         if lambda_value != 0:
             final = final * (1 - lambda_value) + orig_chunk * lambda_value
         final_g = final[:, n_q:]
-        # rank by a float64 (final, original-distance) composite: the
-        # perturbation term orders the all-tied zero-overlap tail (Jaccard
-        # exactly 1.0) by feature distance. Its scale is set per row to 1e-3
-        # of the f32 spacing at the row's largest value, so it stays below
-        # the smallest difference f32 arithmetic can have produced at any
-        # magnitude — a fixed 1e-12 would overpower genuine sub-1e-5
-        # Jaccard values, whose f32 spacing is finer than 1e-12
-        row_scale = np.spacing(
-            np.maximum(np.abs(final_g).max(axis=1), np.float32(1e-30))
-        ).astype(np.float64) * 1e-3
-        key = final_g.astype(np.float64) + (
-            orig_chunk[:, n_q:] / (orig_chunk[:, n_q:].max() + 1.0)
-        ).astype(np.float64) * row_scale[:, None]
+        key = composite_rank_key(final_g, orig_chunk[:, n_q:])
         part = np.argpartition(key, k_out - 1, axis=1)[:, :k_out]
         pkeys = np.take_along_axis(key, part, axis=1)
         order = np.argsort(pkeys, axis=1, kind="stable")

@@ -16,16 +16,26 @@ log() { echo "[$(date +%F' '%T)] $*" >> "$OUT/log.txt"; }
 
 probe() { timeout 60 python -c "import jax; jax.devices()" >/dev/null 2>&1; }
 
-# run NAME TIMEOUT CMD... — run CMD with stdout->$OUT/NAME.out, stamp .done on rc=0
+# run NAME TIMEOUT CMD... — run CMD with stdout->$OUT/NAME.out, stamp .done
+# on rc=0. Deterministic failures (OOM, code bug — not tunnel flakiness,
+# which the outer probe gate absorbs) stamp .fail after MAX_ATTEMPTS so the
+# loop terminates instead of re-burning TPU windows forever.
+MAX_ATTEMPTS=3
 run() {
   local name=$1 tmo=$2; shift 2
-  [ -e "$OUT/$name.done" ] && return 0
-  log "start $name"
+  [ -e "$OUT/$name.done" ] || [ -e "$OUT/$name.fail" ] && return 0
+  local att=0
+  [ -f "$OUT/$name.attempts" ] && att=$(cat "$OUT/$name.attempts")
+  att=$((att + 1)); echo "$att" > "$OUT/$name.attempts"
+  log "start $name (attempt $att/$MAX_ATTEMPTS)"
   timeout "$tmo" "$@" > "$OUT/$name.out" 2> "$OUT/$name.err"
   local rc=$?
   log "end $name rc=$rc: $(tail -c 300 "$OUT/$name.out" | tr '\n' ' ')"
   if [ $rc -eq 0 ] && [ -s "$OUT/$name.out" ]; then
     touch "$OUT/$name.done"
+  elif [ "$att" -ge "$MAX_ATTEMPTS" ]; then
+    log "$name giving up after $att attempts"
+    touch "$OUT/$name.fail"
   fi
   return $rc
 }
@@ -34,7 +44,7 @@ all_done() {
   for t in mosaic_probe selfcheck bench_extract bench_train bench_query \
            query_device extract_bs160 extract_bs192 extract_bs256 \
            train_ts6 train_ts8 profile_trace; do
-    [ -e "$OUT/$t.done" ] || return 1
+    [ -e "$OUT/$t.done" ] || [ -e "$OUT/$t.fail" ] || return 1
   done
   return 0
 }

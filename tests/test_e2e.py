@@ -248,7 +248,9 @@ class TestEvalPCAOnDemand:
         )
         recalls = pipeline.run_eval(ecfg, verbose=False)
         assert len(recalls) == 3
-        assert osp.isfile(osp.join(cfg.logs_dir, "pca_params.h5"))
+        # default params path follows the reference convention:
+        # pca_params_<checkpoint stem>.h5 next to the checkpoint (test.py:109)
+        assert osp.isfile(osp.join(cfg.logs_dir, "pca_params_model_best.h5"))
         # second run reuses the file
         recalls2 = pipeline.run_eval(ecfg, verbose=False)
         np.testing.assert_allclose(recalls, recalls2)

@@ -159,3 +159,76 @@ def test_precomputed_initial_rank_matches(rng):
     out = rerank.re_ranking(qg, qq, gg, k1=6, k2=1, lambda_value=0.1,
                             initial_rank=ir)
     np.testing.assert_allclose(out, base, rtol=1e-4, atol=1e-5)
+
+
+class TestCompositeRankKey:
+    """composite_rank_key: feature-distance tie-break that can never reorder
+    genuinely distinct f32 final distances (round-2 advisor finding: a fixed
+    or per-row-max scale overpowers one-ulp gaps far below the row max)."""
+
+    def test_distinct_finals_dominate_at_mixed_magnitudes(self):
+        # one-ulp-separated pairs near 1e-5 alongside the zero-overlap tail
+        # at 1.0 — the row-max-based scale (~1.2e-10) would flip the pair
+        a = np.float32(1e-5)
+        b = np.nextafter(a, np.float32(1.0), dtype=np.float32)
+        final = np.array([[b, a, 1.0, 1.0]], np.float32)
+        # orig ranks the b-item closest: a naive perturbation would pull it
+        # ahead of the genuinely closer a-item
+        orig = np.array([[0.1, 5.0, 2.0, 3.0]], np.float32)
+        key = rerank.composite_rank_key(final, orig)
+        order = np.argsort(key[0])
+        assert order[0] == 1 and order[1] == 0  # a before b, always
+
+    def test_exact_ties_ordered_by_feature_distance(self):
+        final = np.full((1, 4), 1.0, np.float32)
+        orig = np.array([[3.0, 1.0, 2.0, 0.5]], np.float32)
+        key = rerank.composite_rank_key(final, orig)
+        np.testing.assert_array_equal(np.argsort(key[0]), [3, 1, 2, 0])
+
+    def test_materialized_and_streaming_branches_share_key(self, rng):
+        """evaluate_descriptors' small-problem branch must rank with the
+        same composite key as rerank_ranks_streaming (identical results on
+        either side of the memory threshold)."""
+        q = rng.randn(12, 8).astype(np.float32)
+        g = rng.randn(60, 8).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        g /= np.linalg.norm(g, axis=1, keepdims=True)
+        sq = lambda a, b: ((a[:, None] - b[None]) ** 2).sum(-1)
+        full = rerank.re_ranking(sq(q, g), sq(q, q), sq(g, g),
+                                 k1=10, k2=1, lambda_value=0.0)
+        mat_order = np.argsort(rerank.composite_rank_key(full, sq(q, g)),
+                               axis=1)[:, :15]
+        idx, _ = rerank.rerank_ranks_streaming(q, g, k1=10, k2=1,
+                                               lambda_value=0.0, k_out=15)
+        np.testing.assert_array_equal(mat_order, idx)
+
+
+class TestDeviceTableGuard:
+    """_device_structs budget: modest padded tables build fine even past the
+    occupancy heuristic; only genuinely huge allocations without scipy fail
+    loudly (round-2 advisor finding)."""
+
+    def _engine(self, n, hub_count):
+        # one hub column with hub_count entries + a diagonal
+        rows = np.concatenate([np.arange(hub_count) % n, np.arange(n)])
+        cols = np.concatenate([np.zeros(hub_count, np.int64), np.arange(n)])
+        vals = np.ones(len(rows), np.float32)
+        return rerank.JaccardEngine(rows.astype(np.int32),
+                                    cols.astype(np.int32), vals, n)
+
+    def test_modest_tables_build_without_scipy(self, monkeypatch):
+        monkeypatch.setattr(rerank, "sp", None)
+        eng = self._engine(n=2000, hub_count=5000)  # p=8192 > cap, ~0.13 GB
+        assert eng._device_structs() is not None
+
+    def test_huge_tables_raise_without_scipy(self, monkeypatch):
+        monkeypatch.setattr(rerank, "sp", None)
+        eng = self._engine(n=300_000, hub_count=5000)  # ~19.7 GB
+        with pytest.raises(MemoryError):
+            eng._device_structs()
+
+    def test_oversized_routes_to_host_with_scipy(self):
+        if rerank.sp is None:
+            pytest.skip("scipy unavailable")
+        eng = self._engine(n=2000, hub_count=5000)
+        assert eng._device_structs() is None  # "host" marker
