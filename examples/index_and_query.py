@@ -42,8 +42,15 @@ def build(args):
         verbose=True,
     )
     index_path = args.index if args.index.endswith(".npz") else args.index + ".npz"
-    np.savez(index_path, descriptors=feats.astype(args.store_dtype),
-             paths=np.array(paths))
+    if args.store_dtype == "int8":
+        from openibl_tpu.ops.distance import quantize_index_int8
+
+        codes, scales = quantize_index_int8(feats)
+        np.savez(index_path, descriptors=codes, scales=scales,
+                 paths=np.array(paths))
+    else:
+        np.savez(index_path, descriptors=feats.astype(args.store_dtype),
+                 paths=np.array(paths))
     print(f"wrote {index_path}: {feats.shape} descriptors "
           f"({args.store_dtype})")
 
@@ -58,10 +65,12 @@ def query(args):
     index_path = args.index if args.index.endswith(".npz") else args.index + ".npz"
     data = np.load(index_path, allow_pickle=False)
     gallery, paths = data["descriptors"], data["paths"]
+    scales = data["scales"] if gallery.dtype == np.int8 else None
     extractor = DescriptorExtractor(args.weights, args.height, args.width)
     desc = extractor(Image.open(args.image).convert("RGB"))
     d, idx = topk_nearest(jnp.asarray(desc), jnp.asarray(gallery),
-                          k=min(args.topk, len(gallery)))
+                          k=min(args.topk, len(gallery)),
+                          gallery_scale=scales)
     d, idx = np.asarray(d)[0], np.asarray(idx)[0]
     print(f"top-{len(idx)} matches for {args.image}:")
     for rank, (i, dist) in enumerate(zip(idx, d), 1):
@@ -74,10 +83,11 @@ def main():
     b = sub.add_parser("build")
     b.add_argument("gallery")
     b.add_argument("index")
-    b.add_argument("--store-dtype", choices=["float32", "float16"],
+    b.add_argument("--store-dtype", choices=["float32", "float16", "int8"],
                    default="float32",
-                   help="float16 halves index size on disk and in HBM; "
-                        "unit-norm descriptors lose only near-tie ordering")
+                   help="float16 halves (int8 quarters, with per-row "
+                        "scales) index size on disk and in HBM; unit-norm "
+                        "descriptors lose only near-tie ordering")
     q = sub.add_parser("query")
     q.add_argument("index")
     q.add_argument("image")

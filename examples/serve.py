@@ -69,6 +69,10 @@ def main():
     p.add_argument("--width", type=int, default=640)
     p.add_argument("--n-devices", type=int, default=0,
                    help=">0 shards the index over a data mesh of that size")
+    p.add_argument("--int8", action="store_true",
+                   help="quantize a float index to int8 at load "
+                        "(quarter-width in HBM; int8-built indexes are "
+                        "detected automatically)")
     args = p.parse_args()
 
     from openibl_tpu.serving import RetrievalService
@@ -80,7 +84,7 @@ def main():
         mesh = get_mesh(args.n_devices)
     service = RetrievalService(args.index, weights=args.weights,
                                height=args.height, width=args.width,
-                               mesh=mesh)
+                               mesh=mesh, quantize_int8=args.int8)
     print(f"warming {len(service.buckets)} batch buckets over "
           f"{service.index_size}-image index ...")
     service.warmup()

@@ -49,11 +49,31 @@ def _merge_topk(dist_a, idx_a, dist_b, idx_b, k):
 _FULL_DISTMAT_BUDGET_BYTES = 512 * 1024**2
 
 
+def quantize_index_int8(descriptors):
+    """Symmetric per-row int8 quantization of a descriptor index.
+
+    Returns (codes (N, D) int8, scales (N,) f32) with
+    ``descriptors ≈ codes * scales[:, None]`` — a 4x HBM/disk reduction vs
+    f32 (2x vs the f16 index). Unit-norm 4096-d descriptors have ~1e-2
+    entries, so the ~scale/2 ≈ 4e-4 rounding error perturbs dot products
+    well below typical match separations; only near-ties can reorder.
+    ``topk_nearest(..., gallery_scale=scales)`` dequantizes per tile inside
+    the scan, so HBM never holds a widened copy of the index.
+    """
+    import numpy as np
+
+    x = np.asarray(descriptors, np.float32)
+    scales = np.abs(x).max(axis=1) / 127.0
+    scales = np.maximum(scales, np.finfo(np.float32).tiny).astype(np.float32)
+    codes = np.clip(np.rint(x / scales[:, None]), -127, 127).astype(np.int8)
+    return codes, scales
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "chunk", "full_path", "return_rowmax")
 )
 def topk_nearest(query, gallery, k, chunk=4096, full_path=None,
-                 return_rowmax=False):
+                 return_rowmax=False, gallery_scale=None):
     """k nearest gallery rows per query row by squared L2.
 
     Small problems (``full_path=None`` auto-selects by distmat size)
@@ -66,7 +86,9 @@ def topk_nearest(query, gallery, k, chunk=4096, full_path=None,
     A reduced-precision gallery (float16/bfloat16 — e.g. a half-memory
     serving index) stays in its storage dtype on the streaming path; each
     tile is upcast to f32 transiently inside the scan, so HBM never holds a
-    full f32 copy of the index.
+    full f32 copy of the index. An int8 index (quantize_index_int8)
+    additionally passes its per-row ``gallery_scale`` (N,) f32; tiles are
+    dequantized transiently the same way (quarter-width index in HBM).
     """
     q = jnp.asarray(query, jnp.float32)
     g = jnp.asarray(gallery)
@@ -76,6 +98,9 @@ def topk_nearest(query, gallery, k, chunk=4096, full_path=None,
     if full_path is None:
         full_path = 4 * q.shape[0] * n <= _FULL_DISTMAT_BUDGET_BYTES
     if full_path:
+        if gallery_scale is not None:
+            g = g.astype(jnp.float32) * jnp.asarray(
+                gallery_scale, jnp.float32)[:, None]
         d = pairwise_sqdist(q, g)
         neg_d, idx = jax.lax.top_k(-d, k)
         if return_rowmax:
@@ -85,6 +110,9 @@ def topk_nearest(query, gallery, k, chunk=4096, full_path=None,
     pad = n_chunks * chunk - n
     g_pad = jnp.pad(g, ((0, pad), (0, 0)))
     g_tiles = g_pad.reshape(n_chunks, chunk, -1)
+    if gallery_scale is not None:
+        s_pad = jnp.pad(jnp.asarray(gallery_scale, jnp.float32), (0, pad))
+        s_tiles = s_pad.reshape(n_chunks, chunk)
     q2 = jnp.sum(jnp.square(q), axis=1, keepdims=True)
 
     init_d = jnp.full((q.shape[0], k), jnp.inf, jnp.float32)
@@ -93,8 +121,13 @@ def topk_nearest(query, gallery, k, chunk=4096, full_path=None,
 
     def body(carry, inp):
         best_d, best_i, best_m = carry
-        tile, tile_start = inp
+        if gallery_scale is not None:
+            tile, scale_tile, tile_start = inp
+        else:
+            tile, tile_start = inp
         tile = tile.astype(jnp.float32)  # per-tile transient upcast
+        if gallery_scale is not None:
+            tile = tile * scale_tile[:, None]  # int8 dequant, f32 transient
         t2 = jnp.sum(jnp.square(tile), axis=1)[None, :]
         d = q2 + t2 - 2.0 * jnp.dot(
             q, tile.T, preferred_element_type=jnp.float32,
@@ -114,8 +147,10 @@ def topk_nearest(query, gallery, k, chunk=4096, full_path=None,
         return (best_d, best_i, best_m), None
 
     starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    xs = ((g_tiles, s_tiles, starts) if gallery_scale is not None
+          else (g_tiles, starts))
     (best_d, best_i, best_m), _ = jax.lax.scan(
-        body, (init_d, init_i, init_m), (g_tiles, starts)
+        body, (init_d, init_i, init_m), xs
     )
     if return_rowmax:
         return best_d, best_i, best_m
@@ -175,7 +210,8 @@ def rank_positives(q_feats, g_feats, pos_idx, pos_pool=20):
     return ranked, ranked_d
 
 
-def topk_nearest_sharded(query, gallery, mesh, k, axis="data", chunk=4096):
+def topk_nearest_sharded(query, gallery, mesh, k, axis="data", chunk=4096,
+                         gallery_scale=None):
     """k nearest neighbors with the gallery sharded over the mesh.
 
     The TPU-native answer to the reference's gather-everything eval
@@ -189,6 +225,8 @@ def topk_nearest_sharded(query, gallery, mesh, k, axis="data", chunk=4096):
       query: (Q, D) replicated queries.
       gallery: (G, D); sharded over ``axis`` (G divisible by mesh size;
         pad with +inf-distance rows via zero vectors beforehand if needed).
+      gallery_scale: optional (G,) per-row dequant scales for an int8
+        gallery (quantize_index_int8), sharded like the gallery.
     Returns:
       (dists (Q, k), global indices (Q, k)), fully replicated.
     """
@@ -202,9 +240,10 @@ def topk_nearest_sharded(query, gallery, mesh, k, axis="data", chunk=4096):
     per = g_total // n_dev
     k_local = min(k, per)
 
-    def local_topk(q, g_shard):
+    def local_topk(q, g_shard, s_shard=None):
         # g_shard: (per, D) this device's shard
-        d, idx = topk_nearest(q, g_shard, k=k_local, chunk=min(chunk, per))
+        d, idx = topk_nearest(q, g_shard, k=k_local, chunk=min(chunk, per),
+                              gallery_scale=s_shard)
         shard_id = jax.lax.axis_index(axis)
         idx = idx + shard_id * per  # globalize
         # merge across devices: all_gather candidate sets, final top-k
@@ -217,13 +256,19 @@ def topk_nearest_sharded(query, gallery, mesh, k, axis="data", chunk=4096):
         neg_d, pos = jax.lax.top_k(-d_flat, kk)
         return -neg_d, jnp.take_along_axis(i_flat, pos, axis=1)
 
+    in_specs = [P(), P(axis, None)]
+    args = [jnp.asarray(query, jnp.float32), jnp.asarray(gallery)]
+    if gallery_scale is not None:
+        in_specs.append(P(axis))
+        args.append(jnp.asarray(gallery_scale, jnp.float32))
     fn = shard_map(
         local_topk,
         mesh=mesh,
-        in_specs=(P(), P(axis, None)),
+        in_specs=tuple(in_specs),
         out_specs=(P(), P()),
         check_vma=False,
     )
-    # gallery keeps its storage dtype (fp16 shards stay half-width;
-    # topk_nearest upcasts per tile inside each shard)
-    return jax.jit(fn)(jnp.asarray(query, jnp.float32), jnp.asarray(gallery))
+    # gallery keeps its storage dtype (fp16 shards stay half-width, int8
+    # quarter-width; topk_nearest upcasts/dequantizes per tile inside each
+    # shard)
+    return jax.jit(fn)(*args)

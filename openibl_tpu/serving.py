@@ -28,19 +28,25 @@ class RetrievalService:
 
     Args:
       index: path to an ``index_and_query.py build`` .npz (descriptors +
-        paths), or a dict with "descriptors" (N, D) and optional "paths".
+        paths), or a dict with "descriptors" (N, D), optional "paths", and
+        — for an int8 index — per-row dequant "scales" (N,).
       weights: released .pth / our .npz checkpoint for the descriptor model
         (None = random init, for tests).
       height/width: model input resolution (the hub contract is 480x640).
+      quantize_int8: quantize a float index to int8 at load (quarter-width
+        in HBM; pre-quantized int8 indexes are detected automatically).
     """
 
     def __init__(self, index, weights=None, height=480, width=640,
-                 batch_buckets=_BATCH_BUCKETS, mesh=None):
+                 batch_buckets=_BATCH_BUCKETS, mesh=None,
+                 quantize_int8=False):
         import jax
         import jax.numpy as jnp
 
         from openibl_tpu.hub import vgg16_netvlad
-        from openibl_tpu.ops.distance import topk_nearest, topk_nearest_sharded
+        from openibl_tpu.ops.distance import (
+            quantize_index_int8, topk_nearest, topk_nearest_sharded,
+        )
 
         import os
 
@@ -49,11 +55,22 @@ class RetrievalService:
             index = {k: data[k] for k in data.files}
         self.paths = [str(p) for p in index.get("paths", [])]
         gallery = np.ascontiguousarray(index["descriptors"])
-        if gallery.dtype != np.float16:
+        scales = None
+        if gallery.dtype == np.int8:
+            if "scales" not in index:
+                raise ValueError(
+                    "int8 index needs per-row 'scales' "
+                    "(ops.distance.quantize_index_int8)"
+                )
+            scales = np.asarray(index["scales"], np.float32)
+        elif quantize_int8:
+            gallery, scales = quantize_index_int8(gallery)
+        elif gallery.dtype != np.float16:
             gallery = gallery.astype(np.float32, copy=False)
-        # float16 indexes stay half-width in HBM; topk_nearest upcasts
-        # per-tile transiently (descriptors are unit-norm, so fp16 keeps
-        # retrieval order for all but near-tied matches)
+        # float16 indexes stay half-width in HBM, int8 quarter-width;
+        # topk_nearest upcasts/dequantizes per-tile transiently
+        # (descriptors are unit-norm, so reduced precision only reorders
+        # near-tied matches)
         self.index_size = gallery.shape[0]
         self.height, self.width = height, width
         self.buckets = tuple(sorted(batch_buckets))
@@ -77,16 +94,23 @@ class RetrievalService:
                     [gallery,
                      np.zeros((pad, gallery.shape[1]), gallery.dtype)]
                 )
+                if scales is not None:
+                    scales = np.concatenate(
+                        [scales, np.zeros(pad, np.float32)]
+                    )
             # device_put the HOST array with the sharding directly: each
             # shard transfers to its own device, so device 0 never stages
             # the full index (the point of sharding a large one)
             self._gallery = jax.device_put(gallery, data_sharding(mesh, 2))
+            self._scale = (None if scales is None else
+                           jax.device_put(scales, data_sharding(mesh, 1)))
             fwd = jax.jit(self._model.apply)
 
-            def retrieve(desc, gallery, k):
+            def retrieve(desc, gallery, scale, k):
                 # fetch enough candidates to survive dropping padded rows
                 d, i = topk_nearest_sharded(desc, gallery, mesh,
-                                            k=min(k + pad, gallery.shape[0]))
+                                            k=min(k + pad, gallery.shape[0]),
+                                            gallery_scale=scale)
                 valid = i < self.index_size
                 d = jnp.where(valid, d, jnp.inf)
                 order = jnp.argsort(d, axis=1)[:, :k]
@@ -100,20 +124,22 @@ class RetrievalService:
             # deadlocks small batches on a virtual CPU mesh; the (B, 4096)
             # descriptor handoff between the jits is negligible
             def run(params, images, gallery, k):
-                return retrieve(fwd(params, images), gallery, k=k)
+                return retrieve(fwd(params, images), gallery, self._scale,
+                                k=k)
 
             self._run = run
         else:
             self._gallery = jnp.asarray(gallery)  # HBM-resident, one device
+            self._scale = None if scales is None else jnp.asarray(scales)
             # forward and top-k are separate jits on purpose: k is a static
             # arg, and a fused program would recompile the whole conv stack
             # for every new topk a client sends (tens of seconds, under the
             # request lock); split, only the small top-k program respecializes
             fwd = jax.jit(self._model.apply)
-            retrieve = jax.jit(topk_nearest, static_argnames=("k",))
 
             def run(params, images, gallery, k):
-                return retrieve(fwd(params, images), gallery, k=k)
+                return topk_nearest(fwd(params, images), gallery, k=k,
+                                    gallery_scale=self._scale)
 
             self._run = run
 

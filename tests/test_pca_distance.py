@@ -154,3 +154,41 @@ class TestReducedPrecisionGallery:
             np.testing.assert_array_equal(np.asarray(i32), np.asarray(i16))
             np.testing.assert_allclose(np.asarray(d32), np.asarray(d16),
                                        atol=2e-3)
+
+    def test_int8_gallery_both_paths(self):
+        """int8 gallery (quantize_index_int8 codes + per-row scales): both
+        topk paths dequantize per tile and return the f32 ranking
+        (unit-norm rows, no near-ties)."""
+        import jax.numpy as jnp
+        from openibl_tpu.ops.distance import quantize_index_int8, topk_nearest
+
+        rng = np.random.RandomState(12)
+        g = rng.randn(300, 64).astype(np.float32)
+        g /= np.linalg.norm(g, axis=1, keepdims=True)
+        q = rng.randn(4, 64).astype(np.float32)
+        codes, scales = quantize_index_int8(g)
+        assert codes.dtype == np.int8 and scales.shape == (300,)
+        # quantization is a faithful approximation...
+        np.testing.assert_allclose(codes * scales[:, None], g, atol=1e-2)
+        for full in (True, False):
+            d32, i32 = topk_nearest(jnp.asarray(q), jnp.asarray(g), k=7,
+                                    chunk=128, full_path=full)
+            d8, i8 = topk_nearest(jnp.asarray(q), jnp.asarray(codes), k=7,
+                                  chunk=128, full_path=full,
+                                  gallery_scale=scales)
+            assert d8.dtype == jnp.float32
+            np.testing.assert_array_equal(np.asarray(i32), np.asarray(i8))
+            # ~1e-3 relative distance error from the 8-bit rounding — the
+            # ranking above is the real contract
+            np.testing.assert_allclose(np.asarray(d32), np.asarray(d8),
+                                       rtol=2e-3, atol=2e-2)
+
+    def test_int8_zero_row_safe(self):
+        """All-zero index rows must not produce NaN/inf scales."""
+        from openibl_tpu.ops.distance import quantize_index_int8
+
+        g = np.zeros((4, 16), np.float32)
+        g[0, 0] = 1.0
+        codes, scales = quantize_index_int8(g)
+        assert np.isfinite(scales).all() and (scales > 0).all()
+        np.testing.assert_array_equal(codes[1:], 0)

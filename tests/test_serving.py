@@ -89,6 +89,37 @@ class TestRetrievalService:
             out.append([m["index"] for m in svc.query([img], topk=5)[0]])
         assert out[0] == out[1]
 
+    def test_int8_index_matches_float32(self):
+        """A quarter-width int8 index (codes + per-row scales) returns the
+        same ranking — both pre-quantized and quantize-at-load."""
+        from openibl_tpu.ops.distance import quantize_index_int8
+
+        rng = np.random.RandomState(10)
+        gallery = rng.randn(24, 4096).astype(np.float32)
+        gallery /= np.linalg.norm(gallery, axis=1, keepdims=True)
+        img = rng.randint(0, 256, (32, 48, 3), np.uint8)
+        codes, scales = quantize_index_int8(gallery)
+
+        base = RetrievalService({"descriptors": gallery},
+                                height=32, width=48, batch_buckets=(1,))
+        pre = RetrievalService({"descriptors": codes, "scales": scales},
+                               height=32, width=48, batch_buckets=(1,))
+        atload = RetrievalService({"descriptors": gallery}, height=32,
+                                  width=48, batch_buckets=(1,),
+                                  quantize_int8=True)
+        assert pre._gallery.dtype == np.int8
+        assert atload._gallery.dtype == np.int8
+        ids = [[m["index"] for m in s.query([img], topk=5)[0]]
+               for s in (base, pre, atload)]
+        assert ids[0] == ids[1] == ids[2]
+
+    def test_int8_index_requires_scales(self):
+        with pytest.raises(ValueError, match="scales"):
+            RetrievalService(
+                {"descriptors": np.zeros((4, 8), np.int8)},
+                height=32, width=48, batch_buckets=(1,),
+            )
+
     def test_degenerate_inputs(self, service):
         assert service.query([]) == []
         with pytest.raises(ValueError, match="topk"):
@@ -118,6 +149,26 @@ class TestMeshServing:
         d0 = np.array([m["sq_dist"] for m in results[0]])
         d1 = np.array([m["sq_dist"] for m in results[1]])
         np.testing.assert_allclose(d0, d1, rtol=1e-5, atol=1e-4)
+
+    def test_sharded_int8_index_matches_single_device(self):
+        """int8 sharding: scales shard with their gallery rows and padded
+        rows stay masked (non-divisible size exercises zero-padding)."""
+        from openibl_tpu.parallel.mesh import get_mesh
+
+        rng = np.random.RandomState(8)
+        gallery = rng.randn(30, 4096).astype(np.float32)  # 30 % 8 != 0
+        gallery /= np.linalg.norm(gallery, axis=1, keepdims=True)
+        img = rng.randint(0, 256, (32, 48, 3), np.uint8)
+        results = []
+        for mesh in (None, get_mesh(8)):
+            svc = RetrievalService(
+                {"descriptors": gallery}, height=32, width=48,
+                batch_buckets=(1,), mesh=mesh, quantize_int8=True,
+            )
+            assert svc._gallery.dtype == np.int8
+            results.append(svc.query([img], topk=5)[0])
+        ids = [[m["index"] for m in r] for r in results]
+        assert ids[0] == ids[1]
 
 
 class TestHTTPServer:
