@@ -103,3 +103,75 @@ extern "C" int64_t expansion_sets(
   return expansion_impl(nullptr, rank, n, rank_cols, k1, half, out_rows,
                         out_cols, nullptr, cap);
 }
+
+// ---------------------------------------------------------------------------
+// Jaccard min/sum intersection (re_ranking step 5) over sparse V rows.
+//
+// For each query row i of the sparse V matrix (CSR over rows, CSC over
+// columns, both with 64-bit indptr):
+//   acc[r] = sum_j min(V[i,j], V[r,j])   (only j in row i touch anything)
+//   out[qi, r] = 1 - acc[r] / (2 - acc[r])
+// The irregular gather/scatter over ~k1^2 elements per query is interpreter-
+// bound in numpy/scipy (one numpy call per (i, j) pair); here it is a flat
+// scalar loop, parallelized over queries (each thread owns a dense
+// accumulator and disjoint output rows).
+
+#include <thread>
+
+namespace {
+
+void jaccard_block(const int64_t* csr_indptr, const int32_t* csr_cols,
+                   const float* csr_vals, const int64_t* csc_indptr,
+                   const int32_t* csc_rows, const float* csc_vals, int64_t n,
+                   const int64_t* query_rows, int64_t q_begin, int64_t q_end,
+                   float* out) {
+  std::vector<float> acc(n);
+  for (int64_t qi = q_begin; qi < q_end; ++qi) {
+    const int64_t i = query_rows[qi];
+    std::fill(acc.begin(), acc.end(), 0.0f);
+    for (int64_t p = csr_indptr[i]; p < csr_indptr[i + 1]; ++p) {
+      const int32_t j = csr_cols[p];
+      const float vij = csr_vals[p];
+      for (int64_t c = csc_indptr[j]; c < csc_indptr[j + 1]; ++c) {
+        const float vrj = csc_vals[c];
+        acc[csc_rows[c]] += vij < vrj ? vij : vrj;
+      }
+    }
+    float* o = out + qi * n;
+    for (int64_t r = 0; r < n; ++r) {
+      const float t = acc[r];
+      o[r] = 1.0f - t / (2.0f - t);
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" void jaccard_queries(
+    const int64_t* csr_indptr, const int32_t* csr_cols, const float* csr_vals,
+    const int64_t* csc_indptr, const int32_t* csc_rows, const float* csc_vals,
+    int64_t n, const int64_t* query_rows, int64_t n_q, int32_t n_threads,
+    float* out) {
+  if (n_threads <= 0) {
+    unsigned hw = std::thread::hardware_concurrency();
+    n_threads = hw ? static_cast<int32_t>(hw) : 1;
+  }
+  if (n_threads > n_q) n_threads = static_cast<int32_t>(n_q);
+  if (n_threads <= 1) {
+    jaccard_block(csr_indptr, csr_cols, csr_vals, csc_indptr, csc_rows,
+                  csc_vals, n, query_rows, 0, n_q, out);
+    return;
+  }
+  std::vector<std::thread> threads;
+  threads.reserve(n_threads);
+  const int64_t per = (n_q + n_threads - 1) / n_threads;
+  for (int32_t t = 0; t < n_threads; ++t) {
+    const int64_t b = t * per;
+    const int64_t e = b + per < n_q ? b + per : n_q;
+    if (b >= e) break;
+    threads.emplace_back(jaccard_block, csr_indptr, csr_cols, csr_vals,
+                         csc_indptr, csc_rows, csc_vals, n, query_rows, b, e,
+                         out);
+  }
+  for (auto& th : threads) th.join();
+}

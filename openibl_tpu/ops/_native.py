@@ -24,7 +24,7 @@ def build(verbose=False):
     """Compile native/rerank.cpp → librerank.so with g++."""
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-        _SRC, "-o", _SO,
+        "-pthread", _SRC, "-o", _SO,
     ]
     if verbose:
         print(" ".join(cmd))
@@ -72,6 +72,20 @@ def _load():
             ctypes.POINTER(ctypes.c_int32),  # out rows (cap)
             ctypes.POINTER(ctypes.c_int32),  # out cols (cap)
             ctypes.c_int64,  # cap
+        ]
+        lib.jaccard_queries.restype = None
+        lib.jaccard_queries.argtypes = [
+            ctypes.POINTER(ctypes.c_int64),  # csr indptr (n+1)
+            ctypes.POINTER(ctypes.c_int32),  # csr cols (nnz)
+            ctypes.POINTER(ctypes.c_float),  # csr vals (nnz)
+            ctypes.POINTER(ctypes.c_int64),  # csc indptr (n+1)
+            ctypes.POINTER(ctypes.c_int32),  # csc rows (nnz)
+            ctypes.POINTER(ctypes.c_float),  # csc vals (nnz)
+            ctypes.c_int64,  # n
+            ctypes.POINTER(ctypes.c_int64),  # query rows (n_q)
+            ctypes.c_int64,  # n_q
+            ctypes.c_int32,  # n_threads (<=0: hardware concurrency)
+            ctypes.POINTER(ctypes.c_float),  # out (n_q, n)
         ]
         _LIB = lib
     except OSError:
@@ -137,6 +151,35 @@ def expansion_sets(initial_rank, k1):
     if count < 0:
         raise RuntimeError("native expansion_sets overflow")
     return rows[:count], cols[:count]
+
+
+def jaccard_queries(csr_indptr, csr_cols, csr_vals, csc_indptr, csc_rows,
+                    csc_vals, n, query_rows, n_threads=0):
+    """C++ path for the re_ranking step-5 min/sum intersection.
+
+    CSR/CSC of the same sparse V matrix (int64 indptrs, int32 indices, f32
+    values); returns (len(query_rows), n) f32 Jaccard distances. Parallel
+    over queries (n_threads<=0: hardware concurrency)."""
+    lib = _load()
+    csr_indptr = np.ascontiguousarray(csr_indptr, np.int64)
+    csr_cols = np.ascontiguousarray(csr_cols, np.int32)
+    csr_vals = np.ascontiguousarray(csr_vals, np.float32)
+    csc_indptr = np.ascontiguousarray(csc_indptr, np.int64)
+    csc_rows = np.ascontiguousarray(csc_rows, np.int32)
+    csc_vals = np.ascontiguousarray(csc_vals, np.float32)
+    query_rows = np.ascontiguousarray(query_rows, np.int64)
+    out = np.empty((len(query_rows), n), np.float32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    lib.jaccard_queries(
+        csr_indptr.ctypes.data_as(i64p), csr_cols.ctypes.data_as(i32p),
+        csr_vals.ctypes.data_as(f32p), csc_indptr.ctypes.data_as(i64p),
+        csc_rows.ctypes.data_as(i32p), csc_vals.ctypes.data_as(f32p),
+        n, query_rows.ctypes.data_as(i64p), len(query_rows),
+        int(n_threads), out.ctypes.data_as(f32p),
+    )
+    return out
 
 
 if __name__ == "__main__":

@@ -240,11 +240,45 @@ class JaccardEngine:
         self.cols = cols[order]
         self.vals = vals[order]
         self.n = n
-        self._host = None  # (v_csr, v_csc)
+        self._host = None  # (v_csr, v_csc) scipy
+        self._nat = None  # CSR/CSC plain arrays for the C++ kernel
         self._dev = None  # (csc_rows_d, csc_vals_d, chunk_fn) or "host" marker
         self._row_starts = None
 
-    # -- host engine -------------------------------------------------------
+    # -- host engines ------------------------------------------------------
+    @property
+    def _host_available(self):
+        return sp is not None or _native.available()
+
+    def _query_host(self, query_rows):
+        """Sparse host intersection: the C++ kernel when built (flat scalar
+        loops, threaded over queries — the scipy path spends its time in
+        per-(i, j) numpy-call overhead), else the scipy loop."""
+        if _native.available():
+            return self._query_native(query_rows)
+        return self._query_scipy(query_rows)
+
+    def _native_structs(self):
+        if self._nat is None:
+            n = self.n
+            csr_indptr = np.zeros(n + 1, np.int64)
+            np.cumsum(np.bincount(self.rows, minlength=n), out=csr_indptr[1:])
+            corder = np.argsort(self.cols, kind="stable")
+            csc_indptr = np.zeros(n + 1, np.int64)
+            np.cumsum(np.bincount(self.cols, minlength=n), out=csc_indptr[1:])
+            self._nat = (
+                csr_indptr, self.cols, self.vals,
+                csc_indptr,
+                np.ascontiguousarray(self.rows[corder]),
+                np.ascontiguousarray(self.vals[corder]),
+            )
+        return self._nat
+
+    def _query_native(self, query_rows):
+        ri, rc, rv, ci, cr, cv = self._native_structs()
+        return _native.jaccard_queries(ri, rc, rv, ci, cr, cv, self.n,
+                                       query_rows)
+
     def _host_structs(self):
         if self._host is None:
             v_csr = sp.csr_matrix(
@@ -254,7 +288,7 @@ class JaccardEngine:
             self._host = (v_csr, v_csr.T.tocsr())
         return self._host
 
-    def _query_host(self, query_rows):
+    def _query_scipy(self, query_rows):
         v_csr, v_csc = self._host_structs()
         n = self.n
         out = np.empty((len(query_rows), n), np.float32)
@@ -281,22 +315,22 @@ class JaccardEngine:
             table_bytes = self.n * p * 8  # int32 rows + f32 vals
             oversized = (p > _MAX_COL_OCCUPANCY
                          or table_bytes > _DEVICE_TABLE_BUDGET_BYTES)
-            if oversized and sp is not None:
+            if oversized and self._host_available:
                 # hub-heavy columns (or a huge union) make the padded
                 # tables wasteful relative to the sparse FLOP count —
-                # prefer the scipy loop
+                # prefer the sparse host path
                 self._dev = "host"
             elif table_bytes > _DEVICE_TABLE_BUDGET_BYTES:
-                # without scipy, still build modest tables past the
-                # occupancy heuristic; only a genuinely huge allocation
+                # without a host fallback, still build modest tables past
+                # the occupancy heuristic; only a genuinely huge allocation
                 # (degenerate occupancy at large n) fails loudly rather
                 # than OOMing the host/device
                 raise MemoryError(
                     f"degenerate V-column occupancy (padded width {p}) "
                     f"makes the padded device Jaccard tables "
-                    f"~{table_bytes / 1e9:.1f} GB and scipy is unavailable "
-                    "for the sparse host fallback; install scipy or "
-                    "reduce k1"
+                    f"~{table_bytes / 1e9:.1f} GB and no sparse host "
+                    "fallback is available (scipy missing, native kernel "
+                    "unbuilt); install scipy, build native/, or reduce k1"
                 )
             else:
                 corder = np.argsort(self.cols, kind="stable")
@@ -335,7 +369,7 @@ class JaccardEngine:
         import jax.numpy as jnp
 
         structs = self._device_structs()
-        if structs is None:  # degenerate occupancy, scipy available
+        if structs is None:  # degenerate occupancy, host path available
             return self._query_host(query_rows)
         _, _, chunk_fn = structs
         n = self.n
@@ -375,17 +409,23 @@ class JaccardEngine:
         the sparse scatter-adds (~avg row nnz squared) PLUS the O(n) dense
         accumulator each query allocates and reduces. Callers that sweep
         many chunks (rerank_ranks_streaming) pass ``total_queries`` so the
-        routing sees the whole sweep, not one chunk. Host requires scipy."""
+        routing sees the whole sweep, not one chunk. Host requires scipy or
+        the built native kernel (which raises the routing budget ~20x: its
+        flat threaded loops drop the per-(i, j) interpreter overhead the
+        scipy estimate prices in)."""
         if prefer not in ("auto", "host", "device"):
             raise ValueError(f"prefer={prefer!r}")
         query_rows = np.asarray(query_rows, np.int64)
-        if prefer == "host" and sp is None:
-            raise ImportError("prefer='host' Jaccard requires scipy")
-        if sp is not None and prefer != "device":
+        if prefer == "host" and not self._host_available:
+            raise ImportError(
+                "prefer='host' Jaccard requires scipy or the native kernel"
+            )
+        if self._host_available and prefer != "device":
             avg_row = len(self.vals) / max(self.n, 1)
             n_sweep = total_queries if total_queries else len(query_rows)
             est_host_vec_ops = n_sweep * (avg_row * avg_row + self.n)
-            if prefer == "host" or est_host_vec_ops < 5e8:
+            budget = 1e10 if _native.available() else 5e8
+            if prefer == "host" or est_host_vec_ops < budget:
                 return self._query_host(query_rows)
         return self._query_device(query_rows, query_chunk)
 

@@ -173,6 +173,110 @@ def test_multihost_training_matches_single_process(tmp_path):
                                np.asarray(recalls_s), atol=1e-6)
 
 
+SFRS_CFG_SNIPPET = textwrap.dedent("""
+    from openibl_tpu.config import SFRSConfig, DataConfig
+
+    def make_sfrs_cfg(data_dir, logs_dir):
+        # 64x64: the EmbedRegionNet 2x2 quarter split needs an even conv5 map
+        return SFRSConfig(
+            data=DataConfig(dataset="synthetic", scale=None,
+                            data_dir=data_dir, height=64, width=64,
+                            test_batch_size=8),
+            num_clusters=8, loss_type="sare_ind", tuple_size=2, neg_num=2,
+            neg_pool=5, cache_size=16, iters=2, epochs=1, eval_step=1,
+            pca_dim=16, logs_dir=logs_dir, init_dir=logs_dir,
+            print_freq=100, seed=0, device_jitter=True,
+            generations=2, temperature=(0.07, 0.06), pos_num=2, pos_pool=3,
+        )
+""")
+
+SFRS_WORKER = textwrap.dedent("""
+    import sys, os
+    os.environ.pop("XLA_FLAGS", None)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    port, pid, data_dir, logs_dir, out = sys.argv[1:6]
+    jax.distributed.initialize(coordinator_address=f"localhost:{port}",
+                               num_processes=2, process_id=int(pid))
+    assert jax.process_count() == 2
+    sys.path.insert(0, %r)
+    import numpy as np
+    import jax.tree_util as jtu
+""") + SFRS_CFG_SNIPPET + textwrap.dedent("""
+    from openibl_tpu.engine.pipeline import run_sfrs_training
+    from openibl_tpu.parallel.mesh import get_mesh
+
+    mesh = get_mesh()
+    assert mesh.size == 2, mesh
+    cfg = make_sfrs_cfg(data_dir, logs_dir)
+    params, recalls = run_sfrs_training(cfg, mesh=mesh, verbose=False)
+    leaves = jtu.tree_flatten_with_path(params)[0]
+    np.savez(out, __recalls__=np.asarray(recalls),
+             **{jtu.keystr(k): np.asarray(v) for k, v in leaves})
+    print("sfrs worker done", flush=True)
+""")
+
+
+@pytest.mark.slow
+def test_multihost_sfrs_matches_single_process(tmp_path):
+    """SFRS across TWO processes — per-generation teacher snapshots, the
+    gen>0 Jaccard mining over the union (identical on every process via
+    sharded extraction + allgather), per-process diff-tuple slices, and
+    global easy/diff batch assembly — must reproduce the single-process
+    2-device-mesh model."""
+    import jax.tree_util as jtu
+
+    sys.path.insert(0, REPO)
+    from openibl_tpu import data as datasets
+
+    data_dir = tmp_path / "data"
+    datasets.create("synthetic", str(data_dir / "synthetic"))
+
+    ns = {}
+    exec(SFRS_CFG_SNIPPET, ns)
+    from openibl_tpu.engine.pipeline import run_sfrs_training
+    from openibl_tpu.parallel.mesh import get_mesh
+
+    cfg = ns["make_sfrs_cfg"](str(data_dir), str(tmp_path / "logs_single"))
+    params_s, recalls_s = run_sfrs_training(
+        cfg, mesh=get_mesh(n_devices=2), verbose=False
+    )
+    single = {
+        jtu.keystr(k): np.asarray(v)
+        for k, v in jtu.tree_flatten_with_path(params_s)[0]
+    }
+
+    port = str(_free_port())
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith(("SLURM_", "JAX_COORDINATOR"))}
+    outs = [str(tmp_path / f"sfrs_out{i}.npz") for i in range(2)]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", SFRS_WORKER % REPO, port, str(i),
+             str(data_dir), str(tmp_path / "logs_multi"), outs[i]],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, env=env, cwd=REPO,
+        )
+        for i in range(2)
+    ]
+    logs = [p.communicate(timeout=2400)[0] for p in procs]
+    for i, (p, log) in enumerate(zip(procs, logs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{log[-4000:]}"
+        assert "sfrs worker done" in log
+
+    multi = [dict(np.load(o)) for o in outs]
+    for key in multi[0]:
+        np.testing.assert_array_equal(multi[0][key], multi[1][key])
+    assert set(single) == set(multi[0]) - {"__recalls__"}
+    for key, want in single.items():
+        np.testing.assert_allclose(
+            multi[0][key], want, rtol=2e-4, atol=2e-5,
+            err_msg=f"param {key} diverged between 1- and 2-process runs",
+        )
+    np.testing.assert_allclose(multi[0]["__recalls__"],
+                               np.asarray(recalls_s), atol=1e-6)
+
+
 @pytest.mark.slow
 def test_extract_features_sharded_two_processes():
     port = str(_free_port())

@@ -107,6 +107,24 @@ class TestStreamingRerank:
             rerank.jaccard_for_queries(rows, cols, vals, n, qrows,
                                        prefer="gpu")
 
+    def test_native_jaccard_matches_scipy_loop(self, rng):
+        """The C++ min/sum intersection kernel (threaded flat loops) must
+        equal the scipy per-(i,j) loop and the device scatter-add engine —
+        three implementations, one math (re_ranking step 5)."""
+        if not _native.available():
+            pytest.skip("native kernel unavailable")
+        q, g = self._qg(rng)
+        union = np.concatenate([q, g])
+        rows, cols, vals, _, _ = rerank.build_v_sparse(union, k1=15)
+        eng = rerank.JaccardEngine(rows, cols, vals, len(union))
+        qrows = np.arange(9, dtype=np.int64)
+        nat = eng._query_native(qrows)
+        dev = eng._query_device(qrows, query_chunk=4)
+        np.testing.assert_allclose(nat, dev, rtol=1e-5, atol=1e-6)
+        if rerank.sp is not None:
+            sci = eng._query_scipy(qrows)
+            np.testing.assert_allclose(nat, sci, rtol=1e-5, atol=1e-6)
+
     def test_native_sets_match_python(self, rng):
         q, g = self._qg(rng)
         union = np.concatenate([q, g])
@@ -216,13 +234,17 @@ class TestDeviceTableGuard:
         return rerank.JaccardEngine(rows.astype(np.int32),
                                     cols.astype(np.int32), vals, n)
 
-    def test_modest_tables_build_without_scipy(self, monkeypatch):
+    def _no_host_fallback(self, monkeypatch):
         monkeypatch.setattr(rerank, "sp", None)
+        monkeypatch.setattr(rerank._native, "available", lambda: False)
+
+    def test_modest_tables_build_without_host_fallback(self, monkeypatch):
+        self._no_host_fallback(monkeypatch)
         eng = self._engine(n=2000, hub_count=5000)  # p=8192 > cap, ~0.13 GB
         assert eng._device_structs() is not None
 
-    def test_huge_tables_raise_without_scipy(self, monkeypatch):
-        monkeypatch.setattr(rerank, "sp", None)
+    def test_huge_tables_raise_without_host_fallback(self, monkeypatch):
+        self._no_host_fallback(monkeypatch)
         eng = self._engine(n=300_000, hub_count=5000)  # ~19.7 GB
         with pytest.raises(MemoryError):
             eng._device_structs()
