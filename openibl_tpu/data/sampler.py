@@ -236,26 +236,24 @@ def shard_tuples(tuples, tuple_size, n_shards, shard):
 
     The multi-host analog of the reference's per-rank tuple split
     (DistributedRandomTupleSampler, /root/reference/ibl/utils/data/
-    sampler.py:62-71): the stream is padded (cycling, like IterLoader) to a
-    whole number of global batches of ``tuple_size`` tuples, and process
-    ``shard`` takes rows [shard·per, (shard+1)·per) of every global batch —
-    so the process-order concatenation of the local batches IS the global
-    batch, which is exactly how ``parallel.mesh.global_batch`` reassembles
-    them. Every process sees the same number of steps (collective safety).
+    sampler.py:62-71): the stream is truncated to a whole number of global
+    batches of ``tuple_size`` tuples — the same drop-last-partial convention
+    as the single-process TupleLoader (data/loader.py), so an N-process run
+    takes exactly the optimizer steps the identical 1-process run takes —
+    and process ``shard`` takes rows [shard·per, (shard+1)·per) of every
+    global batch, so the process-order concatenation of the local batches IS
+    the global batch, which is exactly how ``parallel.mesh.global_batch``
+    reassembles them. Every process sees the same number of steps
+    (collective safety).
     """
     if tuple_size % n_shards:
         raise ValueError(
             f"tuple_size={tuple_size} must be a multiple of the process "
             f"count ({n_shards}) for multi-host tuple sharding"
         )
-    if not tuples:
-        return []
     per = tuple_size // n_shards
-    pad = (-len(tuples)) % tuple_size
-    padded = list(tuples) + list(tuples[:pad])
-    while len(padded) % tuple_size:  # tuples shorter than one batch
-        padded += padded[: tuple_size - len(padded) % tuple_size]
+    n_whole = len(tuples) - len(tuples) % tuple_size
     out = []
-    for s in range(0, len(padded), tuple_size):
-        out.extend(padded[s + shard * per : s + (shard + 1) * per])
+    for s in range(0, n_whole, tuple_size):
+        out.extend(tuples[s + shard * per : s + (shard + 1) * per])
     return out

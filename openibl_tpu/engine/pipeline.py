@@ -664,21 +664,30 @@ def run_eval(cfg, mesh=None, train_cfg=None, verbose=True):
             src = ImageSource(items, pca_ds.images_dir,
                               TestTransform(cfg.data.height, cfg.data.width,
                                             device_normalize=True))
-            feats = extract_features(
-                model.apply, params,
-                BatchLoader(src, batch_size=cfg.data.test_batch_size,
-                            prefetch=cfg.data.workers),
-                mesh=mesh, feature=feature,
+            feats = extract_features_sharded(
+                model.apply, params, src,
+                batch_size=cfg.data.test_batch_size, mesh=mesh,
+                feature=feature, prefetch=cfg.data.workers,
             )
             if len(feats) > 10000:
                 sel = np.random.RandomState(0).choice(len(feats), 10000,
                                                       replace=False)
                 feats = feats[sel]
             pca.n_components = min(cfg.pca_dim, feats.shape[0], feats.shape[1])
+            if jax.process_index() != 0:
+                # every process fits the identical PCA (same all-gathered
+                # features); only rank 0 writes the h5 (shared-FS safe)
+                pca.params_path = None
             pca.train(feats)
+            pca.params_path = pca_path
 
     bs = cfg.data.test_batch_size
     pf = cfg.data.workers
+    gallery_pids = [it[1] for it in dataset.db_test]
+    eval_kwargs = dict(
+        gallery_pids=gallery_pids, pca=pca, nms=cfg.nms, rerank=cfg.rerank,
+        rr_topk=cfg.rr_topk, lambda_value=cfg.lambda_value, verbose=verbose,
+    )
     if cfg.data.dataset == "tokyo":
         # variable query sizes: bucket-pad to one static shape per
         # orientation and run the masked forward — one (or two) jit
@@ -688,21 +697,42 @@ def run_eval(cfg, mesh=None, train_cfg=None, verbose=True):
         from openibl_tpu.data.loader import PaddedBatchLoader
 
         q_loader = PaddedBatchLoader(q_src, batch_size=bs, prefetch=pf)
-        evaluator = Evaluator(model.apply, mesh=mesh, feature=feature,
-                              masked_apply_fn=model.apply_masked)
-    else:
-        q_loader = BatchLoader(q_src, batch_size=bs, prefetch=pf)
-        evaluator = Evaluator(model.apply, mesh=mesh, feature=feature)
-    return evaluator.evaluate(
-        params,
-        q_loader,
-        BatchLoader(db_src, batch_size=bs, prefetch=pf),
-        dataset.test_pos,
-        gallery_pids=[it[1] for it in dataset.db_test],
-        pca=pca,
-        nms=cfg.nms,
-        rerank=cfg.rerank,
-        rr_topk=cfg.rr_topk,
-        lambda_value=cfg.lambda_value,
-        verbose=verbose,
+        if jax.process_count() == 1:
+            evaluator = Evaluator(model.apply, mesh=mesh, feature=feature,
+                                  masked_apply_fn=model.apply_masked)
+            return evaluator.evaluate(
+                params, q_loader, BatchLoader(db_src, batch_size=bs,
+                                              prefetch=pf),
+                dataset.test_pos, **eval_kwargs,
+            )
+        # multi-host: the masked query path's bucket emission order can't be
+        # positionally reassembled across hosts, and the query set is tiny —
+        # extract queries replicated on each process's sub-mesh and shard the
+        # (large, fixed-shape) gallery across hosts
+        from openibl_tpu.engine.evaluator import evaluate_descriptors
+        from openibl_tpu.parallel.mesh import (
+            local_view_tree, process_local_mesh,
+        )
+
+        lmesh = process_local_mesh(mesh) if mesh is not None else None
+        q_feats = extract_features(
+            model.apply, local_view_tree(params), q_loader, mesh=lmesh,
+            pca=pca, feature=feature, verbose=verbose,
+            masked_apply_fn=model.apply_masked,
+        )
+        g_feats = extract_features_sharded(
+            model.apply, params, db_src, batch_size=bs, mesh=mesh, pca=pca,
+            feature=feature, verbose=verbose, prefetch=pf,
+        )
+        return evaluate_descriptors(
+            q_feats, g_feats, dataset.test_pos, gallery_pids=gallery_pids,
+            nms=cfg.nms, rerank=cfg.rerank, rr_topk=cfg.rr_topk,
+            lambda_value=cfg.lambda_value, mesh=mesh,
+        )
+    # fixed-shape path: sharded across hosts in multi-process runs (each
+    # host extracts a contiguous slice; single-process is one mesh pass)
+    evaluator = Evaluator(model.apply, mesh=mesh, feature=feature)
+    return evaluator.evaluate_sources(
+        params, q_src, db_src, dataset.test_pos,
+        batch_size=bs, prefetch=pf, **eval_kwargs,
     )

@@ -88,7 +88,11 @@ def _load():
             ctypes.POINTER(ctypes.c_float),  # out (n_q, n)
         ]
         _LIB = lib
-    except OSError:
+    except (OSError, AttributeError):
+        # OSError: dlopen failure. AttributeError: a prebuilt librerank.so
+        # missing a newer symbol (e.g. tar-deployed checkout with preserved
+        # mtimes skipping the staleness rebuild) — fall back to numpy/scipy
+        # rather than crashing every rerank call.
         _LIB = None
     return _LIB
 

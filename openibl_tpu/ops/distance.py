@@ -49,6 +49,23 @@ def _merge_topk(dist_a, idx_a, dist_b, idx_b, k):
 _FULL_DISTMAT_BUDGET_BYTES = 512 * 1024**2
 
 
+def _auto_full_path(q_rows, n, feat_dim, gallery_widened):
+    """Whether topk_nearest should materialize the full distance matrix.
+
+    Counts BOTH the f32 distmat AND — for reduced-precision galleries
+    (f16/bf16/int8 indexes) — the full-width f32 gallery copy the full path
+    would materialize. Without the second term a quarter-width int8 index
+    would be silently dequantized whole on exactly the small-Q serving path
+    the quantized index exists for (worst case: OOM on a ~4GB int8 index
+    whose f32 widening exceeds HBM); the streaming path dequantizes per tile
+    and never holds the widened copy.
+    """
+    cost = 4 * q_rows * n
+    if gallery_widened:
+        cost += 4 * n * feat_dim
+    return cost <= _FULL_DISTMAT_BUDGET_BYTES
+
+
 def quantize_index_int8(descriptors):
     """Symmetric per-row int8 quantization of a descriptor index.
 
@@ -96,7 +113,8 @@ def topk_nearest(query, gallery, k, chunk=4096, full_path=None,
     k = min(k, n)
 
     if full_path is None:
-        full_path = 4 * q.shape[0] * n <= _FULL_DISTMAT_BUDGET_BYTES
+        widened = gallery_scale is not None or g.dtype != jnp.float32
+        full_path = _auto_full_path(q.shape[0], n, g.shape[1], widened)
     if full_path:
         if gallery_scale is not None:
             g = g.astype(jnp.float32) * jnp.asarray(

@@ -16,35 +16,63 @@ log() { echo "[$(date +%F' '%T)] $*" >> "$OUT/log.txt"; }
 
 probe() { timeout 60 python -c "import jax; jax.devices()" >/dev/null 2>&1; }
 
-# run NAME TIMEOUT CMD... — run CMD with stdout->$OUT/NAME.out, stamp .done
-# on rc=0. Deterministic failures (OOM, code bug — not tunnel flakiness,
-# which the outer probe gate absorbs) stamp .fail after MAX_ATTEMPTS so the
-# loop terminates instead of re-burning TPU windows forever.
+# Single source of truth for the task list: "name|timeout|command".
+# Ordered by value: headline bench numbers first (what BENCH_r03 needs),
+# then the open kernel question, then sweeps.
+TASKS=(
+  "bench_extract|1600|python -u bench.py --metric extract"
+  "bench_train|1600|python -u bench.py --metric train"
+  "bench_query|1600|python -u bench.py --metric query"
+  "query_device|1600|python -u bench.py --metric query --device-time"
+  "mosaic_probe|1200|python -u scripts/mosaic_probe.py"
+  "selfcheck|1200|python -u scripts/tpu_selfcheck.py"
+  "extract_bs160|900|python -u bench.py --metric extract --batch-size 160"
+  "extract_bs192|900|python -u bench.py --metric extract --batch-size 192"
+  "extract_bs256|900|python -u bench.py --metric extract --batch-size 256"
+  "train_ts6|900|python -u bench.py --metric train --batch-size 6"
+  "train_ts8|900|python -u bench.py --metric train --batch-size 8"
+  "profile_trace|1200|python -u scripts/profile_phases.py"
+)
+
+# Attempts only count toward .fail when the task failed while the tunnel was
+# still up afterwards (a deterministic failure — OOM, code bug). A task killed
+# by a mid-run outage gets its attempt refunded and the loop returns to the
+# probe gate, so a multi-hour degradation can never burn every task to .fail.
 MAX_ATTEMPTS=3
-run() {
-  local name=$1 tmo=$2; shift 2
+
+# run_one NAME TIMEOUT CMD — returns 0 if the outer task loop should continue
+# to the next task, 1 if it should fall back to the probe/sleep gate.
+run_one() {
+  local name=$1 tmo=$2 cmd=$3
   [ -e "$OUT/$name.done" ] || [ -e "$OUT/$name.fail" ] && return 0
   local att=0
   [ -f "$OUT/$name.attempts" ] && att=$(cat "$OUT/$name.attempts")
   att=$((att + 1)); echo "$att" > "$OUT/$name.attempts"
   log "start $name (attempt $att/$MAX_ATTEMPTS)"
-  timeout "$tmo" "$@" > "$OUT/$name.out" 2> "$OUT/$name.err"
+  timeout "$tmo" bash -c "$cmd" > "$OUT/$name.out" 2> "$OUT/$name.err"
   local rc=$?
   log "end $name rc=$rc: $(tail -c 300 "$OUT/$name.out" | tr '\n' ' ')"
   if [ $rc -eq 0 ] && [ -s "$OUT/$name.out" ]; then
     touch "$OUT/$name.done"
-  elif [ "$att" -ge "$MAX_ATTEMPTS" ]; then
+    return 0
+  fi
+  if ! probe; then
+    att=$((att - 1)); echo "$att" > "$OUT/$name.attempts"
+    log "$name failed during a tunnel outage; attempt refunded"
+    return 1
+  fi
+  if [ "$att" -ge "$MAX_ATTEMPTS" ]; then
     log "$name giving up after $att attempts"
     touch "$OUT/$name.fail"
   fi
-  return $rc
+  return 0
 }
 
 all_done() {
-  for t in mosaic_probe selfcheck bench_extract bench_train bench_query \
-           query_device extract_bs160 extract_bs192 extract_bs256 \
-           train_ts6 train_ts8 profile_trace; do
-    [ -e "$OUT/$t.done" ] || [ -e "$OUT/$t.fail" ] || return 1
+  local spec name
+  for spec in "${TASKS[@]}"; do
+    name=${spec%%|*}
+    [ -e "$OUT/$name.done" ] || [ -e "$OUT/$name.fail" ] || return 1
   done
   return 0
 }
@@ -57,20 +85,13 @@ while ! all_done; do
     continue
   fi
   log "TUNNEL UP"
-  # Ordered by value: headline bench numbers first (what BENCH_r03 needs),
-  # then the open kernel question, then sweeps.
-  run bench_extract 1600 python -u bench.py --metric extract
-  run bench_train   1600 python -u bench.py --metric train
-  run bench_query   1600 python -u bench.py --metric query
-  run query_device  1600 python -u bench.py --metric query --device-time
-  run mosaic_probe  1200 python -u scripts/mosaic_probe.py
-  run selfcheck     1200 python -u scripts/tpu_selfcheck.py
-  run extract_bs160  900 python -u bench.py --metric extract --batch-size 160
-  run extract_bs192  900 python -u bench.py --metric extract --batch-size 192
-  run extract_bs256  900 python -u bench.py --metric extract --batch-size 256
-  run train_ts6      900 python -u bench.py --metric train --batch-size 6
-  run train_ts8      900 python -u bench.py --metric train --batch-size 8
-  run profile_trace 1200 python -u scripts/profile_phases.py
+  for spec in "${TASKS[@]}"; do
+    name=${spec%%|*}
+    rest=${spec#*|}
+    tmo=${rest%%|*}
+    cmd=${rest#*|}
+    run_one "$name" "$tmo" "$cmd" || break
+  done
   sleep 5
 done
 log "ALL DONE"

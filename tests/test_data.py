@@ -183,19 +183,22 @@ class TestSamplers:
 
     def test_shard_tuples_reassembles_to_global_batches(self):
         """Multi-host tuple split: the process-order concat of the local
-        batches must equal the (cycle-padded) global batch stream — that is
-        exactly how global_batch assembles the train batch across hosts."""
+        batches must equal the global batch stream with the trailing partial
+        batch DROPPED — the same drop-last convention as the single-process
+        TupleLoader, so N-process runs take exactly the steps the 1-process
+        run takes (a cycle-pad here would add an extra optimizer step)."""
         tuples = [[i, 100 + i] for i in range(10)]
         s0 = shard_tuples(tuples, 4, 2, 0)
         s1 = shard_tuples(tuples, 4, 2, 1)
-        assert len(s0) == len(s1) == 6  # padded to 12 tuples, 3 global batches
-        padded = tuples + tuples[:2]
+        # 10 tuples -> 2 whole global batches of 4; the trailing 2 dropped
+        assert len(s0) == len(s1) == 4
         rebuilt = []
-        for b in range(3):
+        for b in range(2):
             rebuilt += s0[b * 2 : (b + 1) * 2] + s1[b * 2 : (b + 1) * 2]
-        assert rebuilt == padded
-        # a stream shorter than one global batch cycles up to a full batch
-        assert len(shard_tuples(tuples[:1], 4, 2, 0)) == 2
+        assert rebuilt == tuples[:8]
+        # a stream shorter than one global batch yields zero steps on every
+        # process (TupleLoader would also run zero steps single-process)
+        assert shard_tuples(tuples[:1], 4, 2, 0) == []
         assert shard_tuples([], 4, 2, 0) == []
         with pytest.raises(ValueError):
             shard_tuples(tuples, 3, 2, 0)

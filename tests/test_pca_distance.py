@@ -192,3 +192,21 @@ class TestReducedPrecisionGallery:
         codes, scales = quantize_index_int8(g)
         assert np.isfinite(scales).all() and (scales > 0).all()
         np.testing.assert_array_equal(codes[1:], 0)
+
+    def test_auto_full_path_counts_gallery_widening(self):
+        """The full-path auto-select must include the f32 widening cost of a
+        reduced-precision gallery: a small-Q query against a big quantized
+        index must stream (per-tile dequant) rather than materialize the
+        whole index as f32 — the quarter-width-HBM contract of
+        quantize_index_int8 (and the OOM guard for indexes whose f32
+        widening exceeds HBM)."""
+        from openibl_tpu.ops.distance import (
+            _FULL_DISTMAT_BUDGET_BYTES, _auto_full_path,
+        )
+
+        n, d = 1_000_000, 4096  # ~4GB int8 index; f32 widening ~16GB
+        assert 4 * 1 * n < _FULL_DISTMAT_BUDGET_BYTES  # distmat alone is tiny
+        assert _auto_full_path(1, n, d, gallery_widened=False)
+        assert not _auto_full_path(1, n, d, gallery_widened=True)
+        # small quantized galleries still take the (faster) full path
+        assert _auto_full_path(1, 10_000, 64, gallery_widened=True)

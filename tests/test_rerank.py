@@ -37,6 +37,28 @@ class TestRerank:
             _native._LIB = orig
         np.testing.assert_allclose(out_native, out_numpy, rtol=1e-4, atol=1e-5)
 
+    def test_stale_so_missing_symbol_falls_back(self, monkeypatch, rng):
+        """A prebuilt librerank.so lacking a newer symbol (e.g. tar-deployed
+        checkout with preserved mtimes skipping the staleness rebuild) must
+        fall back to the numpy path silently, not crash every rerank call
+        with an uncaught AttributeError from available()."""
+        import ctypes
+
+        class _StaleLib:  # object() has no exported symbols at all
+            def __getattr__(self, name):
+                raise AttributeError(name)
+
+        # monkeypatch restores the real loader state on teardown
+        monkeypatch.setattr(_native, "_TRIED", False)
+        monkeypatch.setattr(_native, "_LIB", None)
+        monkeypatch.setattr(ctypes, "CDLL", lambda *a, **k: _StaleLib())
+        assert _native.available() is False
+        feats, _ = _planted(rng)
+        q, g = feats[:6], feats[6:]
+        out = rerank.re_ranking(_dists(q, g), _dists(q, q), _dists(g, g),
+                                k1=5, k2=1, lambda_value=0.0)
+        assert out.shape == (6, len(g))
+
     def test_jaccard_range_and_shape(self, rng):
         feats, _ = _planted(rng)
         q, g = feats[:6], feats[6:]
