@@ -45,6 +45,10 @@ def main():
                         "single-query p50 latency vs a 100k-item gallery; "
                         "train = SARE train-step tuples/sec (12 images each)")
     p.add_argument("--gallery-size", type=int, default=100_000)
+    p.add_argument("--ivf-nprobe", type=int, default=0,
+                   help="query metric only: >0 searches via an IVF coarse "
+                        "index probing this many of 256 cells per query "
+                        "(ops.ivf) instead of the exact full-gallery scan")
     p.add_argument("--device-time", action="store_true",
                    help="query metric only: report amortized per-query "
                         "latency with many queries in flight (measures "
@@ -114,10 +118,35 @@ def main():
             rng.randn(1, args.height, args.width, 3).astype(np.float32) * 40
         )
 
-        @jax.jit
-        def query(params, img, gallery):
-            desc = model.apply(params, img)
-            return topk_nearest(desc, gallery, k=10, chunk=16384)
+        ivf_suffix = ""
+        if args.ivf_nprobe:
+            # IVF over the synthetic gallery. Random-uniform data has no
+            # cluster structure, so random gallery rows ARE k-means-quality
+            # centroids for it and cells come out balanced — the bench
+            # measures the probe path's latency, not recall. The ranking
+            # (device) + greedy fill (host, 3.2MB D2H) avoids pulling the
+            # 1.6GB gallery through the tunnel.
+            from openibl_tpu.ops.ivf import fill_lists, ivf_search
+
+            nlist = 256
+            maxlen = -(-2 * args.gallery_size // nlist)
+            centroids = gallery[:nlist]
+            _, ranked = topk_nearest(gallery, centroids, k=8)
+            lists = jnp.asarray(
+                fill_lists(np.asarray(ranked), nlist, maxlen))
+            nprobe = min(args.ivf_nprobe, nlist)
+            ivf_suffix = f"_ivf{nprobe}of{nlist}"
+
+            @jax.jit
+            def query(params, img, gallery):
+                desc = model.apply(params, img)
+                return ivf_search(desc, gallery, centroids, lists,
+                                  k=10, nprobe=nprobe)
+        else:
+            @jax.jit
+            def query(params, img, gallery):
+                desc = model.apply(params, img)
+                return topk_nearest(desc, gallery, k=10, chunk=16384)
 
         np.asarray(query(params, img, gallery)[1])  # compile + warm
         if args.device_time:
@@ -140,7 +169,7 @@ def main():
             amort = (time.perf_counter() - t0) / n * 1000
             print(json.dumps({
                 "metric": (f"query_amortized_ms_{args.gallery_size}gallery"
-                           f"_{n}iters_depth{depth}"),
+                           f"{ivf_suffix}_{n}iters_depth{depth}"),
                 "value": round(amort, 2),
                 "unit": "ms",
                 "vs_baseline": round(REFERENCE_GPU_QUERY_MS / amort, 2),
@@ -153,7 +182,8 @@ def main():
             times.append(time.perf_counter() - t0)
         p50 = float(np.median(times)) * 1000
         print(json.dumps({
-            "metric": f"query_p50_latency_ms_{args.gallery_size}gallery",
+            "metric": (f"query_p50_latency_ms_{args.gallery_size}gallery"
+                       f"{ivf_suffix}"),
             "value": round(p50, 2),
             "unit": "ms",
             "vs_baseline": round(REFERENCE_GPU_QUERY_MS / p50, 2),

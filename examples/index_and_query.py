@@ -42,15 +42,24 @@ def build(args):
         verbose=True,
     )
     index_path = args.index if args.index.endswith(".npz") else args.index + ".npz"
+    extra = {}
+    if args.ivf_nlist:
+        from openibl_tpu.ops.ivf import build_ivf
+
+        ivf = build_ivf(feats, nlist=args.ivf_nlist)
+        extra = {"ivf_centroids": ivf["centroids"],
+                 "ivf_lists": ivf["lists"]}
+        print(f"IVF: {ivf['lists'].shape[0]} cells x "
+              f"{ivf['lists'].shape[1]} capacity")
     if args.store_dtype == "int8":
         from openibl_tpu.ops.distance import quantize_index_int8
 
         codes, scales = quantize_index_int8(feats)
         np.savez(index_path, descriptors=codes, scales=scales,
-                 paths=np.array(paths))
+                 paths=np.array(paths), **extra)
     else:
         np.savez(index_path, descriptors=feats.astype(args.store_dtype),
-                 paths=np.array(paths))
+                 paths=np.array(paths), **extra)
     print(f"wrote {index_path}: {feats.shape} descriptors "
           f"({args.store_dtype})")
 
@@ -88,6 +97,11 @@ def main():
                    help="float16 halves (int8 quarters, with per-row "
                         "scales) index size on disk and in HBM; unit-norm "
                         "descriptors lose only near-tie ordering")
+    b.add_argument("--ivf-nlist", type=int, default=0,
+                   help="also build an IVF coarse index with this many "
+                        "cells (ops.ivf): the serving layer then probes "
+                        "only the nearest cells per query instead of "
+                        "scanning the whole index (0 = exact-only index)")
     q = sub.add_parser("query")
     q.add_argument("index")
     q.add_argument("image")

@@ -73,6 +73,10 @@ def main():
                    help="quantize a float index to int8 at load "
                         "(quarter-width in HBM; int8-built indexes are "
                         "detected automatically)")
+    p.add_argument("--ivf-nprobe", type=int, default=0,
+                   help=">0 probes only that many IVF cells per query "
+                        "(approximate, ~nlist/nprobe less HBM traffic; "
+                        "index must be built with --ivf-nlist)")
     args = p.parse_args()
 
     from openibl_tpu.serving import RetrievalService
@@ -84,7 +88,8 @@ def main():
         mesh = get_mesh(args.n_devices)
     service = RetrievalService(args.index, weights=args.weights,
                                height=args.height, width=args.width,
-                               mesh=mesh, quantize_int8=args.int8)
+                               mesh=mesh, quantize_int8=args.int8,
+                               ivf_nprobe=args.ivf_nprobe)
     print(f"warming {len(service.buckets)} batch buckets over "
           f"{service.index_size}-image index ...")
     service.warmup()

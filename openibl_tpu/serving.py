@@ -35,11 +35,17 @@ class RetrievalService:
       height/width: model input resolution (the hub contract is 480x640).
       quantize_int8: quantize a float index to int8 at load (quarter-width
         in HBM; pre-quantized int8 indexes are detected automatically).
+      ivf_nprobe: probe only this many IVF cells per query instead of
+        scanning the whole index (ops.ivf; needs "ivf_centroids"/"ivf_lists"
+        in the index — index_and_query.py build --ivf-nlist). 0 = exact
+        search. Approximate: cuts per-query HBM traffic ~nlist/nprobe.
+        Single-device only (ignored with a loud warning under a mesh —
+        the sharded path stays exact).
     """
 
     def __init__(self, index, weights=None, height=480, width=640,
                  batch_buckets=_BATCH_BUCKETS, mesh=None,
-                 quantize_int8=False):
+                 quantize_int8=False, ivf_nprobe=0):
         import jax
         import jax.numpy as jnp
 
@@ -77,6 +83,19 @@ class RetrievalService:
         self._model, self._params = vgg16_netvlad(weights)
         self._lock = threading.Lock()  # serialize device work per process
         self.mesh = mesh
+
+        self.ivf_nprobe = int(ivf_nprobe)
+        if self.ivf_nprobe and "ivf_centroids" not in index:
+            raise ValueError(
+                "ivf_nprobe set but the index has no IVF tables — rebuild "
+                "with index_and_query.py build --ivf-nlist"
+            )
+        if self.ivf_nprobe and mesh is not None:
+            import warnings
+
+            warnings.warn("IVF serving is single-device; using the exact "
+                          "sharded search instead", stacklevel=2)
+            self.ivf_nprobe = 0
 
         if mesh is not None:
             # shard the index over the mesh's data axis; zero-pad to a
@@ -137,9 +156,22 @@ class RetrievalService:
             # request lock); split, only the small top-k program respecializes
             fwd = jax.jit(self._model.apply)
 
-            def run(params, images, gallery, k):
-                return topk_nearest(fwd(params, images), gallery, k=k,
-                                    gallery_scale=self._scale)
+            if self.ivf_nprobe:
+                from openibl_tpu.ops.ivf import ivf_search
+
+                self._ivf_centroids = jnp.asarray(
+                    index["ivf_centroids"], jnp.float32)
+                self._ivf_lists = jnp.asarray(index["ivf_lists"], jnp.int32)
+
+                def run(params, images, gallery, k):
+                    return ivf_search(fwd(params, images), gallery,
+                                      self._ivf_centroids, self._ivf_lists,
+                                      k=k, nprobe=self.ivf_nprobe,
+                                      gallery_scale=self._scale)
+            else:
+                def run(params, images, gallery, k):
+                    return topk_nearest(fwd(params, images), gallery, k=k,
+                                        gallery_scale=self._scale)
 
             self._run = run
 
@@ -207,7 +239,11 @@ class RetrievalService:
         out = []
         for row_d, row_i in zip(d, idx):
             matches = []
-            for rank, (i, dist) in enumerate(zip(row_i, row_d), 1):
+            rank = 0
+            for i, dist in zip(row_i, row_d):
+                if i < 0:  # unfilled IVF slot (fewer candidates than k)
+                    continue
+                rank += 1
                 m = {"rank": rank, "index": int(i), "sq_dist": float(dist)}
                 if self.paths:
                     m["path"] = self.paths[int(i)]

@@ -24,6 +24,8 @@ TASKS=(
   "bench_train|1600|python -u bench.py --metric train"
   "bench_query|1600|python -u bench.py --metric query"
   "query_device|1600|python -u bench.py --metric query --device-time"
+  "query_ivf32|1600|python -u bench.py --metric query --ivf-nprobe 32"
+  "query_ivf32_device|1600|python -u bench.py --metric query --ivf-nprobe 32 --device-time"
   "mosaic_probe|1200|python -u scripts/mosaic_probe.py"
   "selfcheck|1200|python -u scripts/tpu_selfcheck.py"
   "extract_bs160|900|python -u bench.py --metric extract --batch-size 160"

@@ -125,6 +125,47 @@ class TestRetrievalService:
         with pytest.raises(ValueError, match="topk"):
             service.query([np.zeros((32, 48, 3), np.uint8)], topk=0)
 
+    def test_ivf_index_full_probe_matches_exact(self):
+        """IVF serving with nprobe=nlist is exhaustive: the ranking must
+        equal the exact service; unfilled slots must never leak -1 rows."""
+        from openibl_tpu.ops.ivf import build_ivf
+
+        rng = np.random.RandomState(13)
+        gallery = rng.randn(32, 4096).astype(np.float32)
+        gallery /= np.linalg.norm(gallery, axis=1, keepdims=True)
+        ivf = build_ivf(gallery, nlist=4, iters=5, seed=0)
+        img = rng.randint(0, 256, (32, 48, 3), np.uint8)
+
+        exact = RetrievalService({"descriptors": gallery},
+                                 height=32, width=48, batch_buckets=(1,))
+        approx = RetrievalService(
+            {"descriptors": gallery, "ivf_centroids": ivf["centroids"],
+             "ivf_lists": ivf["lists"]},
+            height=32, width=48, batch_buckets=(1,), ivf_nprobe=4,
+        )
+        a = [m["index"] for m in exact.query([img], topk=5)[0]]
+        b = [m["index"] for m in approx.query([img], topk=5)[0]]
+        assert a == b
+        # nprobe=1 can surface fewer than topk candidates: ranks stay
+        # contiguous and no -1/inf entries appear
+        narrow = RetrievalService(
+            {"descriptors": gallery, "ivf_centroids": ivf["centroids"],
+             "ivf_lists": ivf["lists"]},
+            height=32, width=48, batch_buckets=(1,), ivf_nprobe=1,
+        )
+        out = narrow.query([img], topk=32)[0]
+        assert 0 < len(out) <= 32
+        assert [m["rank"] for m in out] == list(range(1, len(out) + 1))
+        assert all(m["index"] >= 0 and np.isfinite(m["sq_dist"])
+                   for m in out)
+
+    def test_ivf_nprobe_without_tables_raises(self):
+        with pytest.raises(ValueError, match="ivf"):
+            RetrievalService(
+                {"descriptors": np.zeros((4, 8), np.float32)},
+                height=32, width=48, batch_buckets=(1,), ivf_nprobe=2,
+            )
+
 
 class TestMeshServing:
     def test_sharded_index_matches_single_device(self):
