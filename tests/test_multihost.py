@@ -277,6 +277,90 @@ def test_multihost_sfrs_matches_single_process(tmp_path):
                                np.asarray(recalls_s), atol=1e-6)
 
 
+EVAL_CFG_SNIPPET = textwrap.dedent("""
+    from openibl_tpu.config import EvalConfig, DataConfig
+
+    def make_eval_cfg(data_dir, pca_path):
+        return EvalConfig(
+            data=DataConfig(dataset="synthetic", scale=None,
+                            data_dir=data_dir, height=32, width=48,
+                            test_batch_size=4),
+            checkpoint="", reduction=True, pca_dim=16, num_clusters=8,
+            pca_params=pca_path,
+        )
+""")
+
+EVAL_WORKER = textwrap.dedent("""
+    import sys, os
+    os.environ.pop("XLA_FLAGS", None)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    port, pid, data_dir, pca_path, out = sys.argv[1:6]
+    jax.distributed.initialize(coordinator_address=f"localhost:{port}",
+                               num_processes=2, process_id=int(pid))
+    assert jax.process_count() == 2
+    sys.path.insert(0, %r)
+    import numpy as np
+""") + EVAL_CFG_SNIPPET + textwrap.dedent("""
+    from openibl_tpu.engine.pipeline import run_eval
+    from openibl_tpu.parallel.mesh import get_mesh
+
+    mesh = get_mesh()
+    assert mesh.size == 2, mesh
+    recalls = run_eval(make_eval_cfg(data_dir, pca_path), mesh=mesh,
+                       verbose=False)
+    np.save(out, np.asarray(recalls))
+    print("eval worker done", flush=True)
+""")
+
+
+@pytest.mark.slow
+def test_multihost_run_eval_matches_single_process(tmp_path):
+    """The eval entry across TWO processes — host-sharded query/gallery
+    extraction (evaluate_sources), the on-demand PCA fit over sharded train
+    features with a rank-0-only h5 write — must reproduce the
+    single-process 2-device-mesh recalls."""
+    sys.path.insert(0, REPO)
+    from openibl_tpu import data as datasets
+
+    data_dir = tmp_path / "data"
+    datasets.create("synthetic", str(data_dir / "synthetic"))
+
+    ns = {}
+    exec(EVAL_CFG_SNIPPET, ns)
+    from openibl_tpu.engine.pipeline import run_eval
+    from openibl_tpu.parallel.mesh import get_mesh
+
+    cfg = ns["make_eval_cfg"](str(data_dir), str(tmp_path / "pca_single.h5"))
+    recalls_s = np.asarray(run_eval(cfg, mesh=get_mesh(n_devices=2),
+                                    verbose=False))
+
+    port = str(_free_port())
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith(("SLURM_", "JAX_COORDINATOR"))}
+    pca_multi = str(tmp_path / "pca_multi.h5")
+    outs = [str(tmp_path / f"eval_out{i}.npy") for i in range(2)]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", EVAL_WORKER % REPO, port, str(i),
+             str(data_dir), pca_multi, outs[i]],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, env=env, cwd=REPO,
+        )
+        for i in range(2)
+    ]
+    logs = [p.communicate(timeout=1200)[0] for p in procs]
+    for i, (p, log) in enumerate(zip(procs, logs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{log[-4000:]}"
+        assert "eval worker done" in log
+
+    multi = [np.load(o) for o in outs]
+    np.testing.assert_array_equal(multi[0], multi[1])
+    np.testing.assert_allclose(multi[0], recalls_s, atol=1e-6)
+    # only rank 0 writes the on-demand PCA params
+    assert os.path.isfile(pca_multi)
+
+
 @pytest.mark.slow
 def test_extract_features_sharded_two_processes():
     port = str(_free_port())
