@@ -39,6 +39,10 @@ def main():
                    choices=["float32", "bfloat16"])
     p.add_argument("--no-fused", action="store_true",
                    help="disable the fused Pallas NetVLAD head")
+    p.add_argument("--fused-conv1", action="store_true",
+                   help="route conv1_1 through the experimental Pallas "
+                        "row-band kernel (ops/conv1_kernel; pending the "
+                        "mosaic_probe verdict)")
     p.add_argument("--metric", type=str, default="extract",
                    choices=["extract", "query", "train"],
                    help="extract = images/sec/chip; query = end-to-end "
@@ -95,7 +99,8 @@ def main():
     def build_extract_model():
         model = models.create(
             "embednetpca",
-            base=models.VGG16(compute_dtype=dtype),
+            base=models.VGG16(compute_dtype=dtype,
+                              fused_conv1=args.fused_conv1),
             net_vlad=models.NetVLAD(num_clusters=64, fused=fused),
             pca_dim=4096,
         )
@@ -272,8 +277,9 @@ def main():
         if rate > best:
             best, best_bs = rate, bs
 
+    conv1_suffix = "_conv1fused" if args.fused_conv1 else ""
     print(json.dumps({
-        "metric": f"descriptor_images_per_sec_per_chip_{args.height}x{args.width}_{args.dtype}_bs{best_bs}",
+        "metric": f"descriptor_images_per_sec_per_chip_{args.height}x{args.width}_{args.dtype}_bs{best_bs}{conv1_suffix}",
         "value": round(best, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(best / REFERENCE_GPU_IMG_PER_SEC, 2),

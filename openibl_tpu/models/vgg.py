@@ -84,6 +84,7 @@ def vgg16_apply(
     compute_dtype=jnp.float32,
     cut_at_pooling: bool = False,
     valid_hw=None,
+    fused_conv1: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Forward pass.
 
@@ -125,16 +126,27 @@ def vgg16_apply(
     mask = None
     for name, _, _, relu, pool in VGG16_LAYERS:
         p = params[name]
-        x = lax.conv_general_dilated(
-            x,
-            p["w"].astype(compute_dtype),
-            window_strides=(1, 1),
-            padding="SAME",
-            dimension_numbers=_CONV_DN,
-        )
-        x = x + p["b"].astype(compute_dtype)
-        if relu:
-            x = jnp.maximum(x, 0)
+        if name == "conv1_1" and fused_conv1:
+            # Pallas row-band kernel for the 3-channel first layer (XLA pads
+            # its contraction to full lane width — 16% of forward time for
+            # 0.9% of FLOPs, scripts/profile_backbone.py). conv1_relu
+            # computes exactly conv+bias+ReLU and falls back to the XLA path
+            # off-TPU or past its VMEM budget; correct under valid_hw too
+            # (the mask re-zero below sees identical activations).
+            from openibl_tpu.ops.conv1_kernel import conv1_relu
+
+            x = conv1_relu(x, p["w"], p["b"])
+        else:
+            x = lax.conv_general_dilated(
+                x,
+                p["w"].astype(compute_dtype),
+                window_strides=(1, 1),
+                padding="SAME",
+                dimension_numbers=_CONV_DN,
+            )
+            x = x + p["b"].astype(compute_dtype)
+            if relu:
+                x = jnp.maximum(x, 0)
         if hw is not None:
             if mask is None:
                 mask = _extent_mask(hw, x.shape[1], x.shape[2])
@@ -192,6 +204,9 @@ class VGG16:
     cut_at_pooling: bool = False
     compute_dtype: object = jnp.float32
     feature_dim: int = FEATURE_DIM
+    # route conv1_1 through the Pallas row-band kernel (ops/conv1_kernel);
+    # pending the on-chip mosaic_probe verdict this defaults off
+    fused_conv1: bool = False
 
     def init(self, rng):
         return init_vgg16_params(rng)
@@ -202,6 +217,7 @@ class VGG16:
             images,
             compute_dtype=self.compute_dtype,
             cut_at_pooling=self.cut_at_pooling,
+            fused_conv1=self.fused_conv1,
         )
 
     def apply_masked(self, params, images, valid_hw):
@@ -212,6 +228,7 @@ class VGG16:
             compute_dtype=self.compute_dtype,
             cut_at_pooling=self.cut_at_pooling,
             valid_hw=valid_hw,
+            fused_conv1=self.fused_conv1,
         )
 
     def trainable_mask(self, params):

@@ -16,11 +16,13 @@ Forward-only: a custom_vjp routes gradients through the identical XLA path
 (conv1_1 is frozen under the default train_layers='conv5' regardless —
 reference vgg.py:20-26).
 
-STATUS: experimental, NOT wired into any runtime path. Interpret-mode
-parity is pinned in tests; real-MXU lowering is unverified — the patch
-concat is a sub-lane-tile concat on the lane dim, which this Mosaic
-toolchain has rejected in other forms (CLAUDE.md). Run
-scripts/mosaic_probe.py on the chip before integrating.
+STATUS: wired into models/vgg.py behind ``VGG16(fused_conv1=True)``
+(default OFF). Interpret-mode parity is pinned in tests; real-MXU lowering
+is unverified — the patch concat is a sub-lane-tile concat on the lane dim,
+which this Mosaic toolchain has rejected in other forms (CLAUDE.md). The
+on-chip verdict comes from scripts/mosaic_probe.py + ``bench.py --metric
+extract --fused-conv1`` (collector task); flip the default only if both
+pass and the bench shows a gain.
 """
 
 import functools

@@ -27,6 +27,7 @@ TASKS=(
   "query_ivf32|1600|python -u bench.py --metric query --ivf-nprobe 32"
   "query_ivf32_device|1600|python -u bench.py --metric query --ivf-nprobe 32 --device-time"
   "mosaic_probe|1200|python -u scripts/mosaic_probe.py"
+  "extract_conv1|1200|python -u bench.py --metric extract --batch-size 128 --fused-conv1"
   "selfcheck|1200|python -u scripts/tpu_selfcheck.py"
   "extract_bs160|900|python -u bench.py --metric extract --batch-size 160"
   "extract_bs192|900|python -u bench.py --metric extract --batch-size 192"

@@ -129,3 +129,22 @@ class TestConv1Kernel:
             np.asarray(_xla_path(x, w, b)),
             atol=1e-6,
         )
+
+    def test_vgg_fused_conv1_flag_matches_default(self):
+        """The VGG16(fused_conv1=True) wiring must be output-identical to
+        the default model (off-TPU conv1_relu falls back to XLA, so this
+        pins the plumbing, not the kernel — the kernel itself is pinned in
+        interpret mode above)."""
+        from openibl_tpu.models.vgg import VGG16
+
+        rng = np.random.RandomState(2)
+        x = jnp.asarray(rng.randn(1, 32, 48, 3).astype(np.float32) * 20)
+        plain = VGG16()
+        fused = VGG16(fused_conv1=True)
+        params = plain.init(jax.random.PRNGKey(0))
+        p_pool, p_map = plain.apply(params, x)
+        f_pool, f_map = fused.apply(params, x)
+        np.testing.assert_allclose(np.asarray(f_map), np.asarray(p_map),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(f_pool), np.asarray(p_pool),
+                                   atol=1e-6)
