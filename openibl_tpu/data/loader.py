@@ -48,9 +48,17 @@ class ImageSource:
 def _prefetch(gen, depth=2):
     """Run ``gen`` in a daemon thread, yielding through a bounded queue.
     Producer exceptions are re-raised in the consumer — a corrupt image must
-    fail the epoch loudly, not silently truncate the stream."""
+    fail the epoch loudly, not silently truncate the stream.
+
+    When the consumer abandons iteration mid-stream (a train-step error, a
+    watchdog abort, generator.close() from garbage collection), the producer
+    would otherwise block forever on the bounded ``q.put``, pinning the
+    thread and up to depth+1 decoded batches for process lifetime. The
+    ``finally`` below signals it to stop and drains the queue so the put
+    unblocks and the thread exits."""
     q = queue.Queue(maxsize=depth)
     stop = object()
+    abandoned = threading.Event()
 
     class _Error:
         def __init__(self, exc):
@@ -59,19 +67,36 @@ def _prefetch(gen, depth=2):
     def worker():
         try:
             for item in gen:
-                q.put(item)
+                while not abandoned.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if abandoned.is_set():
+                    return
             q.put(stop)
         except BaseException as e:  # noqa: BLE001 — re-raised in consumer
-            q.put(_Error(e))
+            if not abandoned.is_set():
+                q.put(_Error(e))
 
-    threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is stop:
-            return
-        if isinstance(item, _Error):
-            raise item.exc
-        yield item
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is stop:
+                return
+            if isinstance(item, _Error):
+                raise item.exc
+            yield item
+    finally:
+        abandoned.set()
+        while not q.empty():  # unblock a producer stuck on a full queue
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
 
 
 class BatchLoader:

@@ -154,13 +154,14 @@ class Evaluator:
 
     def evaluate(self, params, query_loader, gallery_loader, ground_truth,
                  gallery_pids=None, pca=None, topk=(1, 5, 10), nms=False,
-                 rerank=False, rr_topk=25, lambda_value=0, verbose=False):
+                 rerank=False, rr_topk=25, lambda_value=0, verbose=False,
+                 print_results=True):
         q_feats = self.extract(params, query_loader, pca=pca, verbose=verbose)
         g_feats = self.extract(params, gallery_loader, pca=pca, verbose=verbose)
         return evaluate_descriptors(
             q_feats, g_feats, ground_truth, gallery_pids, topk=topk, nms=nms,
             rerank=rerank, rr_topk=rr_topk, lambda_value=lambda_value,
-            mesh=self.mesh,
+            mesh=self.mesh, print_results=print_results,
         )
 
     def evaluate_sources(self, params, q_source, db_source, ground_truth,

@@ -208,9 +208,15 @@ def make_sources(cfg, dataset):
     }
 
 
-def _subset_splits(n_query, cache_size, epoch, step_size, seed):
+def _subset_splits(n_query, cache_size, epoch, step_size, seed,
+                   tuple_size=1):
     """Shuffled query subsets of (possibly grown) cache size per epoch
-    (netvlad_img.py:176-180)."""
+    (netvlad_img.py:176-180). A cache_size below tuple_size is clamped to
+    the full query set (reference netvlad_img.py:170-171) — otherwise every
+    subset mines fewer tuples than one batch, the drop-last loaders skip
+    them all, and training silently takes zero optimizer steps."""
+    if cache_size < tuple_size or cache_size > n_query:
+        cache_size = n_query
     size = min(max(cache_size * (2 ** (epoch // step_size)), 1), n_query)
     rng = np.random.RandomState(seed + epoch)
     perm = rng.permutation(n_query)
@@ -271,7 +277,7 @@ def run_baseline_training(cfg, mesh=None, verbose=True, timer=None):
         opt_state = trainer.set_epoch_lr(opt_state, epoch, cfg.step_size, cfg.gamma)
         for subid, subset in enumerate(
             _subset_splits(len(dataset.q_train), cfg.cache_size, epoch,
-                           cfg.step_size, cfg.seed)
+                           cfg.step_size, cfg.seed, cfg.tuple_size)
         ):
             # mining: fresh gallery + subset-anchor descriptors. The sharded
             # helper splits the work per host (DCN all-gather reassembly) and
@@ -477,7 +483,7 @@ def run_sfrs_training(cfg, mesh=None, verbose=True, timer=None):
                                              cfg.gamma)
             for subid, subset in enumerate(
                 _subset_splits(len(dataset.q_train), cfg.cache_size, epoch,
-                               cfg.step_size, cfg.seed)
+                               cfg.step_size, cfg.seed, cfg.tuple_size)
             ):
                 jaccard_rows = None
                 with timer.phase("mining_extract"):
@@ -684,9 +690,13 @@ def run_eval(cfg, mesh=None, train_cfg=None, verbose=True):
     bs = cfg.data.test_batch_size
     pf = cfg.data.workers
     gallery_pids = [it[1] for it in dataset.db_test]
+    # rank-0 printing in multi-process runs (every process computes the
+    # identical recalls; the reference gates on args.rank==0, test.py)
+    show = verbose and jax.process_index() == 0
     eval_kwargs = dict(
         gallery_pids=gallery_pids, pca=pca, nms=cfg.nms, rerank=cfg.rerank,
-        rr_topk=cfg.rr_topk, lambda_value=cfg.lambda_value, verbose=verbose,
+        rr_topk=cfg.rr_topk, lambda_value=cfg.lambda_value, verbose=show,
+        print_results=show,
     )
     if cfg.data.dataset == "tokyo":
         # variable query sizes: bucket-pad to one static shape per
@@ -717,17 +727,17 @@ def run_eval(cfg, mesh=None, train_cfg=None, verbose=True):
         lmesh = process_local_mesh(mesh) if mesh is not None else None
         q_feats = extract_features(
             model.apply, local_view_tree(params), q_loader, mesh=lmesh,
-            pca=pca, feature=feature, verbose=verbose,
+            pca=pca, feature=feature, verbose=show,
             masked_apply_fn=model.apply_masked,
         )
         g_feats = extract_features_sharded(
             model.apply, params, db_src, batch_size=bs, mesh=mesh, pca=pca,
-            feature=feature, verbose=verbose, prefetch=pf,
+            feature=feature, verbose=show, prefetch=pf,
         )
         return evaluate_descriptors(
             q_feats, g_feats, dataset.test_pos, gallery_pids=gallery_pids,
             nms=cfg.nms, rerank=cfg.rerank, rr_topk=cfg.rr_topk,
-            lambda_value=cfg.lambda_value, mesh=mesh,
+            lambda_value=cfg.lambda_value, mesh=mesh, print_results=show,
         )
     # fixed-shape path: sharded across hosts in multi-process runs (each
     # host extracts a contiguous slice; single-process is one mesh pass)

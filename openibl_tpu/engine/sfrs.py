@@ -56,6 +56,11 @@ class SFRSTrainer(MeshBatchMixin):
         )
         self.tx = None
         self._steps = {}
+        # (host_tree_id, globalized_tree): the teacher changes once per
+        # generation but train_epoch runs once per subset — without the
+        # cache every subset would re-broadcast the full teacher over
+        # H2D+DCN in multi-host runs
+        self._teacher_cache = None
 
     def init_generation(self, params):
         """Fresh optimizer per generation (netvlad_img_sfrs.py:183-185)."""
@@ -180,7 +185,13 @@ class SFRSTrainer(MeshBatchMixin):
             from openibl_tpu.parallel.mesh import globalize_tree
 
             params = globalize_tree(self.mesh, params)
-            teacher_params = globalize_tree(self.mesh, teacher_params)
+            cache = self._teacher_cache
+            if cache is not None and cache[0] is teacher_params:
+                teacher_params = cache[1]
+            else:
+                globalized = globalize_tree(self.mesh, teacher_params)
+                self._teacher_cache = (teacher_params, globalized)
+                teacher_params = globalized
             opt_state = globalize_tree(self.mesh, opt_state)
         step = self.step_fn(gen)
         l_hard, l_soft, batch_time = AverageMeter(), AverageMeter(), AverageMeter()

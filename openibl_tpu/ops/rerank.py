@@ -129,12 +129,51 @@ def re_ranking(q_g_dist, q_q_dist, g_g_dist, k1=20, k2=6, lambda_value=0.3,
                 [v_mat[initial_rank[i, :k2]].mean(axis=0) for i in range(n)]
             )
 
-    # Jaccard from sparse intersection: for queries only
-    jaccard = _jaccard_from_v(v_mat, n, query_num)
+    # Jaccard from sparse intersection, for queries only — through
+    # JaccardEngine so the materialized path shares the streaming path's
+    # engines (threaded C++ kernel when built, scipy loop otherwise)
+    if sp is not None and sp.issparse(v_mat):
+        coo = v_mat.tocsr()
+        coo.sum_duplicates()
+        coo = coo.tocoo()
+        e_rows = coo.row.astype(np.int32)
+        e_cols = coo.col.astype(np.int32)
+        e_vals = coo.data.astype(np.float32)
+    else:
+        e_rows, e_cols = (a.astype(np.int32) for a in np.nonzero(v_mat))
+        e_vals = np.asarray(v_mat[e_rows, e_cols], np.float32)
+    engine = JaccardEngine(e_rows, e_cols, e_vals, n)
+    jaccard = engine.query(np.arange(query_num))
 
     original_q = original[:query_num]
     final = jaccard * (1 - lambda_value) + original_q * lambda_value
     return final[:, query_num:]
+
+
+_PAIR_D2_JIT = None  # lazily-built module-level jit (rerank imports jax lazily)
+
+
+def _pair_d2(u_dev, r_idx, c_idx):
+    """Squared distances for (row, col) index pairs via gather+dot.
+
+    Jitted once per process — a per-call closure would recompile the gather
+    kernel at every mining refresh."""
+    global _PAIR_D2_JIT
+    if _PAIR_D2_JIT is None:
+        import jax
+        import jax.numpy as jnp
+
+        def impl(u, r, c):
+            a = jnp.take(u, r, axis=0)
+            b = jnp.take(u, c, axis=0)
+            return (
+                jnp.sum(jnp.square(a), axis=1)
+                + jnp.sum(jnp.square(b), axis=1)
+                - 2.0 * jnp.sum(a * b, axis=1)
+            )
+
+        _PAIR_D2_JIT = jax.jit(impl)
+    return _PAIR_D2_JIT(u_dev, r_idx, c_idx)
 
 
 def build_v_sparse(u_feats, k1, pair_chunk=1 << 16, depth=None):
@@ -172,23 +211,15 @@ def build_v_sparse(u_feats, k1, pair_chunk=1 << 16, depth=None):
         )
         cols = np.concatenate(expansion).astype(np.int32)
 
-    # sparse pair distances from features, chunked gather+dot on device
-    @jax.jit
-    def _pair_d2(r_idx, c_idx):
-        a = jnp.take(u_dev, r_idx, axis=0)
-        b = jnp.take(u_dev, c_idx, axis=0)
-        return (
-            jnp.sum(jnp.square(a), axis=1)
-            + jnp.sum(jnp.square(b), axis=1)
-            - 2.0 * jnp.sum(a * b, axis=1)
-        )
-
+    # sparse pair distances from features, chunked gather+dot on device.
+    # _pair_d2 is a module-level jit: a per-call closure would recompile the
+    # gather kernel at every mining refresh (SFRS calls this once per subset)
     d2_pairs = np.empty(len(rows), np.float32)
     for s in range(0, len(rows), pair_chunk):
         r = rows[s : s + pair_chunk]
         c = cols[s : s + pair_chunk]
         d2_pairs[s : s + len(r)] = np.asarray(
-            _pair_d2(jnp.asarray(r), jnp.asarray(c))
+            _pair_d2(u_dev, jnp.asarray(r), jnp.asarray(c))
         )
     vals = np.exp(-np.maximum(d2_pairs, 0.0) ** 2 / rm2[rows])
     # L1-normalize per row: rows are emitted row-major by both paths; every
@@ -540,22 +571,3 @@ def rerank_ranks_streaming(q_feats, g_feats, k1=25, k2=1, lambda_value=0.0,
     return out_idx, out_dist
 
 
-def _jaccard_from_v(v_mat, n, query_num):
-    if sp is not None and sp.issparse(v_mat):
-        v_csr = v_mat.tocsr()
-        jaccard = np.zeros((query_num, n), np.float32)
-        v_csc = v_csr.T.tocsr()  # column access
-        for i in range(query_num):
-            row = v_csr.getrow(i)
-            temp_min = np.zeros(n, np.float32)
-            for j, vij in zip(row.indices, row.data):
-                colj = v_csc.getrow(j)  # V[:, j] nonzeros
-                temp_min[colj.indices] += np.minimum(vij, colj.data)
-            jaccard[i] = 1.0 - temp_min / (2.0 - temp_min)
-        return jaccard
-    # dense
-    jaccard = np.zeros((query_num, n), np.float32)
-    for i in range(query_num):
-        temp_min = np.minimum(v_mat[i][None, :], v_mat).sum(axis=1)
-        jaccard[i] = 1.0 - temp_min / (2.0 - temp_min)
-    return jaccard

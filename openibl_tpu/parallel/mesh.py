@@ -29,9 +29,16 @@ def maybe_init_distributed():
     reference's init_dist raising on an unknown launcher, dist_utils.py:19):
     silently degrading to single-process would train on a fraction of the
     data while appearing healthy.
+
+    ORDERING: this must run before anything initializes the XLA backend —
+    ``jax.distributed.initialize`` refuses to run after the first backend
+    touch, so nothing here may call backend-initializing jax APIs
+    (``jax.process_count()``, ``jax.devices()``, ...) before it. The
+    already-initialized check goes through ``jax.distributed.is_initialized``
+    which only inspects client state.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
+    if jax.distributed.is_initialized():
+        return
     multiproc_env = [
         k for k in
         ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS", "SLURM_NTASKS")
@@ -41,14 +48,35 @@ def maybe_init_distributed():
         return
     if os.environ.get("SLURM_NTASKS") == "1" and len(multiproc_env) == 1:
         return  # a 1-task slurm allocation is a single-process launch
+    # jax auto-detects Slurm/OpenMPI topologies via its cluster plugins but
+    # does NOT read JAX_NUM_PROCESSES/JAX_PROCESS_ID from the environment —
+    # pass the manual-launch vars (scripts/test_multihost.sh convention)
+    # through explicitly when set
+    kwargs = {}
+    addr = (os.environ.get("JAX_COORDINATOR_ADDRESS")
+            or os.environ.get("COORDINATOR_ADDRESS"))
+    if addr:
+        kwargs["coordinator_address"] = addr
+    if os.environ.get("JAX_NUM_PROCESSES"):
+        kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+    if os.environ.get("JAX_PROCESS_ID"):
+        kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+    if os.environ.get("OPENIBL_DIST_INIT_TIMEOUT"):
+        # rendezvous deadline in seconds (jax default: 300) — lower it for
+        # fail-fast launches and tests
+        kwargs["initialization_timeout"] = int(
+            os.environ["OPENIBL_DIST_INIT_TIMEOUT"]
+        )
     try:
-        jax.distributed.initialize()
+        jax.distributed.initialize(**kwargs)
     except Exception as e:
         raise RuntimeError(
             f"multi-process launch detected ({'/'.join(multiproc_env)} set) "
             f"but jax.distributed.initialize() failed — refusing to degrade "
             f"to single-process. Check coordinator address/port and that "
-            f"num_processes/process_id are consistent on every host."
+            f"num_processes/process_id are consistent on every host "
+            f"(if the error says the XLA backend was already initialized, "
+            f"maybe_init_distributed ran too late in the program)."
         ) from e
 
 

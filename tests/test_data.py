@@ -107,6 +107,36 @@ class TestLoader:
         (batch,) = list(loader)
         assert batch.shape == (1, 3, 24, 32, 3)
 
+    def test_prefetch_abandoned_consumer_releases_worker(self):
+        """A consumer that abandons iteration mid-stream (train-step error,
+        watchdog abort) must not leave the producer thread blocked forever
+        on the bounded queue with decoded batches pinned."""
+        import threading
+        import time
+
+        from openibl_tpu.data.loader import _prefetch
+
+        import gc
+
+        before = {t.ident for t in threading.enumerate()}
+
+        def slow_gen():
+            for i in range(1000):
+                yield i
+
+        it = _prefetch(slow_gen(), depth=2)
+        assert next(it) == 0
+        it.close()  # abandon mid-stream (what an exception unwind does)
+        gc.collect()
+        deadline = time.time() + 5.0
+        while time.time() < deadline:
+            alive = [t for t in threading.enumerate()
+                     if t.ident not in before and t.is_alive()]
+            if not alive:
+                break
+            time.sleep(0.05)
+        assert not alive, f"prefetch worker leaked: {alive}"
+
 
 class TestSamplers:
     def _features(self, synth, rng, d=16):

@@ -263,3 +263,21 @@ class TestProfiling:
 
         stats = device_memory_stats()
         assert len(stats) >= 1
+
+
+class TestSubsetSplits:
+    def test_small_cache_clamped_to_full_query_set(self):
+        """cache_size < tuple_size must clamp to the full query set
+        (reference netvlad_img.py:170-171) — otherwise every subset mines
+        fewer tuples than one batch and the drop-last loaders silently run
+        ZERO optimizer steps all training long."""
+        from openibl_tpu.engine.pipeline import _subset_splits
+
+        splits = _subset_splits(20, 2, 0, 5, 0, tuple_size=4)
+        assert len(splits) == 1 and len(splits[0]) == 20
+        # oversized cache also clamps (reference same line)
+        splits = _subset_splits(20, 50, 0, 5, 0, tuple_size=4)
+        assert len(splits) == 1 and len(splits[0]) == 20
+        # a healthy cache is untouched
+        splits = _subset_splits(20, 10, 0, 5, 0, tuple_size=4)
+        assert [len(s) for s in splits] == [10, 10]

@@ -383,16 +383,62 @@ def test_extract_features_sharded_two_processes():
         assert "multihost extraction OK (10, 16)" in out
 
 
+@pytest.mark.slow
+def test_maybe_init_distributed_two_processes_via_env():
+    """The example entry points' actual bring-up path: env vars only,
+    maybe_init_distributed() does the rendezvous. Regression for the
+    ordering bug where an early jax.process_count() initialized the XLA
+    backend and made every correctly-configured launch fail."""
+    port = str(_free_port())
+    worker = textwrap.dedent("""
+        import os, sys
+        os.environ.pop("XLA_FLAGS", None)
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        sys.path.insert(0, %r)
+        # the entry-point import chain happens before initialize — it must
+        # not touch the backend
+        import examples.train_baseline  # noqa: F401
+        from openibl_tpu.parallel.mesh import maybe_init_distributed
+        maybe_init_distributed()
+        assert jax.process_count() == 2, jax.process_count()
+        maybe_init_distributed()  # idempotent once initialized
+        print("env bring-up ok", flush=True)
+    """ % REPO)
+    base_env = {k: v for k, v in os.environ.items()
+                if not k.startswith(("SLURM_", "JAX_COORDINATOR"))}
+    procs = []
+    for pid in range(2):
+        env = dict(base_env,
+                   JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+                   JAX_NUM_PROCESSES="2", JAX_PROCESS_ID=str(pid))
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", worker],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, env=env, cwd=REPO,
+        ))
+    logs = [p.communicate(timeout=480)[0] for p in procs]
+    for i, (p, log) in enumerate(zip(procs, logs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{log[-3000:]}"
+        assert "env bring-up ok" in log
+
+
 def test_maybe_init_distributed_fails_loudly():
-    """A half-configured multi-process env must raise, not silently degrade
-    (the reference fails loudly too, dist_utils.py:19)."""
+    """A half-configured multi-process env must fail LOUDLY, not silently
+    degrade to single-process (the reference fails loudly too,
+    dist_utils.py:19). Two loud outcomes are acceptable: our RuntimeError
+    wrapper, or jax's own C++ client hard-aborting the process on the
+    rendezvous deadline (it LOG(FATAL)s instead of raising) — what must
+    NEVER happen is maybe_init_distributed returning normally."""
     code = textwrap.dedent("""
         import os, sys
         os.environ.pop("XLA_FLAGS", None)
         os.environ["JAX_COORDINATOR_ADDRESS"] = "localhost:1"  # nothing there
         os.environ["JAX_NUM_PROCESSES"] = "2"
-        os.environ["JAX_PROCESS_ID"] = "0"
-        os.environ["JAX_DISTRIBUTED_INITIALIZATION_TIMEOUT_SECONDS"] = "5"
+        # process 1: a NON-coordinator pointing at a dead coordinator (pid 0
+        # would itself start the coordination service and "succeed")
+        os.environ["JAX_PROCESS_ID"] = "1"
+        os.environ["OPENIBL_DIST_INIT_TIMEOUT"] = "5"
         import jax
         jax.config.update("jax_platforms", "cpu")
         sys.path.insert(0, %r)
@@ -403,15 +449,20 @@ def test_maybe_init_distributed_fails_loudly():
             assert "refusing to degrade" in str(e), e
             print("raised as expected", flush=True)
             sys.exit(0)
-        print("did NOT raise", flush=True)
-        sys.exit(1)
+        print("SILENT DEGRADE", flush=True)
+        sys.exit(17)
     """ % REPO)
     proc = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,
         timeout=240, cwd=REPO,
     )
-    assert proc.returncode == 0, proc.stdout + proc.stderr
-    assert "raised as expected" in proc.stdout
+    out = proc.stdout + proc.stderr
+    assert "SILENT DEGRADE" not in out, out
+    loud_python = proc.returncode == 0 and "raised as expected" in proc.stdout
+    loud_abort = proc.returncode != 0 and (
+        "DEADLINE_EXCEEDED" in out or "distributed service" in out
+    )
+    assert loud_python or loud_abort, f"rc={proc.returncode}\n{out[-3000:]}"
 
 
 def test_maybe_init_distributed_noop_without_env():
