@@ -34,8 +34,14 @@ def vgg16_netvlad(pretrained=None, num_clusters=64, pca_dim=4096):
         from openibl_tpu.utils.checkpoint import load_checkpoint
 
         template = model.init(jax.random.PRNGKey(0))
-        data = np.load(pretrained)
-        if any(k.startswith("leaf:params/") for k in data.files):
+        # sniff the key layout without leaking an open NpzFile handle (the
+        # archive is re-read by load_checkpoint below; the sniff only parses
+        # the zip directory)
+        with np.load(pretrained) as data:
+            is_pipeline_ckpt = any(
+                k.startswith("leaf:params/") for k in data.files
+            )
+        if is_pipeline_ckpt:
             # pipeline checkpoints store {'params':..., 'opt_state':...}
             loaded, _ = load_checkpoint(pretrained, {"params": template},
                                         strict=False, verbose=True)

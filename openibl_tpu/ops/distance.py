@@ -228,6 +228,12 @@ def rank_positives(q_feats, g_feats, pos_idx, pos_pool=20):
     return ranked, ranked_d
 
 
+# jitted shard_map programs keyed on (mesh, axis, k, chunk, per, has_scale):
+# building the closure + jit wrapper per call would re-trace and re-compile
+# the sharded kNN on every evaluation (seconds each on TPU, every epoch)
+_SHARDED_TOPK_CACHE = {}
+
+
 def topk_nearest_sharded(query, gallery, mesh, k, axis="data", chunk=4096,
                          gallery_scale=None):
     """k nearest neighbors with the gallery sharded over the mesh.
@@ -248,45 +254,53 @@ def topk_nearest_sharded(query, gallery, mesh, k, axis="data", chunk=4096,
     Returns:
       (dists (Q, k), global indices (Q, k)), fully replicated.
     """
-    from jax import shard_map
-    from jax.sharding import PartitionSpec as P
-
     n_dev = mesh.shape[axis]
     g_total = gallery.shape[0]
     if g_total % n_dev:
         raise ValueError(f"gallery size {g_total} not divisible by {n_dev}")
     per = g_total // n_dev
-    k_local = min(k, per)
 
-    def local_topk(q, g_shard, s_shard=None):
-        # g_shard: (per, D) this device's shard
-        d, idx = topk_nearest(q, g_shard, k=k_local, chunk=min(chunk, per),
-                              gallery_scale=s_shard)
-        shard_id = jax.lax.axis_index(axis)
-        idx = idx + shard_id * per  # globalize
-        # merge across devices: all_gather candidate sets, final top-k
-        d_all = jax.lax.all_gather(d, axis, axis=1)  # (Q, n_dev, k_local)
-        i_all = jax.lax.all_gather(idx, axis, axis=1)
-        q_n = d.shape[0]
-        d_flat = d_all.reshape(q_n, -1)
-        i_flat = i_all.reshape(q_n, -1)
-        kk = min(k, d_flat.shape[1])
-        neg_d, pos = jax.lax.top_k(-d_flat, kk)
-        return -neg_d, jnp.take_along_axis(i_flat, pos, axis=1)
+    cache_key = (mesh, axis, k, chunk, per, gallery_scale is not None)
+    jitted = _SHARDED_TOPK_CACHE.get(cache_key)
+    if jitted is None:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
 
-    in_specs = [P(), P(axis, None)]
+        k_local = min(k, per)
+
+        def local_topk(q, g_shard, s_shard=None):
+            # g_shard: (per, D) this device's shard
+            d, idx = topk_nearest(q, g_shard, k=k_local,
+                                  chunk=min(chunk, per),
+                                  gallery_scale=s_shard)
+            shard_id = jax.lax.axis_index(axis)
+            idx = idx + shard_id * per  # globalize
+            # merge across devices: all_gather candidates, final top-k
+            d_all = jax.lax.all_gather(d, axis, axis=1)  # (Q, n_dev, k_loc)
+            i_all = jax.lax.all_gather(idx, axis, axis=1)
+            q_n = d.shape[0]
+            d_flat = d_all.reshape(q_n, -1)
+            i_flat = i_all.reshape(q_n, -1)
+            kk = min(k, d_flat.shape[1])
+            neg_d, pos = jax.lax.top_k(-d_flat, kk)
+            return -neg_d, jnp.take_along_axis(i_flat, pos, axis=1)
+
+        in_specs = [P(), P(axis, None)]
+        if gallery_scale is not None:
+            in_specs.append(P(axis))
+        jitted = jax.jit(shard_map(
+            local_topk,
+            mesh=mesh,
+            in_specs=tuple(in_specs),
+            out_specs=(P(), P()),
+            check_vma=False,
+        ))
+        _SHARDED_TOPK_CACHE[cache_key] = jitted
+
     args = [jnp.asarray(query, jnp.float32), jnp.asarray(gallery)]
     if gallery_scale is not None:
-        in_specs.append(P(axis))
         args.append(jnp.asarray(gallery_scale, jnp.float32))
-    fn = shard_map(
-        local_topk,
-        mesh=mesh,
-        in_specs=tuple(in_specs),
-        out_specs=(P(), P()),
-        check_vma=False,
-    )
     # gallery keeps its storage dtype (fp16 shards stay half-width, int8
     # quarter-width; topk_nearest upcasts/dequantizes per tile inside each
     # shard)
-    return jax.jit(fn)(*args)
+    return jitted(*args)

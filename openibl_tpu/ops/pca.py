@@ -96,7 +96,10 @@ def save_pca(params, path):
             h5.create_dataset("mu", data=mu)
             h5.create_dataset("Utmu", data=u.T @ mu)
     else:
-        np.savez(path, **{k: np.asarray(v) for k, v in params.items()})
+        # np.savez appends '.npz' to a bare filename; write through an open
+        # file object so the path on disk is EXACTLY what load_pca will open
+        with open(path, "wb") as f:
+            np.savez(f, **{k: np.asarray(v) for k, v in params.items()})
 
 
 def load_pca(path):
@@ -109,8 +112,8 @@ def load_pca(path):
                 "lams": h5["lams"][...],
                 "mu": h5["mu"][...],
             }
-    data = np.load(path)
-    return {k: data[k] for k in ("U", "lams", "mu")}
+    with np.load(path) as data:
+        return {k: data[k] for k in ("U", "lams", "mu")}
 
 
 class PCA:

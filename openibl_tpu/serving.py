@@ -201,13 +201,23 @@ class RetrievalService:
             if isinstance(img, Image.Image):
                 img = tf(img.convert("RGB"))
             img = np.asarray(img)
+            if img.dtype != np.uint8:
+                # a silent astype(uint8) would wrap float/mean-subtracted
+                # pixels modulo 256 and embed garbage with no error — the
+                # model does its own mean subtraction on device from RAW
+                # uint8 pixels
+                raise ValueError(
+                    f"raw arrays must be uint8 pixels (got {img.dtype}); "
+                    f"pass PIL images for automatic conversion — do NOT "
+                    f"pre-normalize, the model normalizes on device"
+                )
             if img.shape != (self.height, self.width, 3):
                 raise ValueError(
                     f"image shape {img.shape} != "
                     f"({self.height}, {self.width}, 3); pass PIL images for "
                     f"automatic resizing"
                 )
-            out.append(img.astype(np.uint8))
+            out.append(img)
         return np.stack(out)
 
     def query(self, images, topk=10):
@@ -224,11 +234,21 @@ class RetrievalService:
         n = batch.shape[0]
         bucket = next((b for b in self.buckets if b >= n), None)
         if bucket is None:  # larger than the biggest bucket: chunk it
+            # already preprocessed — chunk the stacked batch directly
+            # instead of recursing through query()/_preprocess again
             results = []
             step = self.buckets[-1]
             for s in range(0, n, step):
-                results.extend(self.query(list(batch[s : s + step]), topk))
+                results.extend(self._query_batch(batch[s : s + step], topk))
             return results
+        return self._query_batch(batch, topk, bucket)
+
+    def _query_batch(self, batch, topk, bucket=None):
+        """Run one preprocessed uint8 batch through a compiled bucket."""
+        n = batch.shape[0]
+        if bucket is None:
+            bucket = next((b for b in self.buckets if b >= n), None)
+            assert bucket is not None, (n, self.buckets)
         if bucket > n:  # pad to the bucket's compiled shape
             pad = np.zeros((bucket - n,) + batch.shape[1:], np.uint8)
             batch = np.concatenate([batch, pad])

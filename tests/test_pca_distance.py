@@ -44,9 +44,13 @@ class TestPCA:
     def test_save_load_roundtrip(self, rng, tmp_path):
         x = rng.randn(50, 12).astype(np.float32)
         params = pca_ops.pca_train(x, n_components=6)
-        for ext in ("npz", "h5"):
-            path = str(tmp_path / f"pca.{ext}")
+        # "pca" (bare): np.savez used to append '.npz' on save while load
+        # opened the bare name — the round trip must work for ANY path
+        for name in ("pca.npz", "pca.h5", "pca"):
+            path = str(tmp_path / name)
             pca_ops.save_pca(params, path)
+            import os
+            assert os.path.isfile(path), f"save wrote a different name than {path}"
             loaded = pca_ops.load_pca(path)
             for key in ("U", "lams", "mu"):
                 np.testing.assert_allclose(params[key], loaded[key], rtol=1e-6)

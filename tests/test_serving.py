@@ -63,6 +63,12 @@ class TestRetrievalService:
         with pytest.raises(ValueError, match="shape"):
             service.query([np.zeros((8, 8, 3), np.uint8)])
 
+    def test_raw_float_array_rejected(self, service):
+        """Float arrays (e.g. pre-normalized pixels) must fail loudly: a
+        silent astype(uint8) would wrap them modulo 256 and embed garbage."""
+        with pytest.raises(ValueError, match="uint8"):
+            service.query([np.zeros((32, 48, 3), np.float32)])
+
     def test_index_from_file(self, tmp_path):
         rng = np.random.RandomState(4)
         path = tmp_path / "index.npz"  # pathlib.Path accepted like str
