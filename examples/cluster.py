@@ -56,6 +56,17 @@ def main():
         params = convert.vgg16_params_from_torch(
             torch.load(matconvnet, map_location="cpu", weights_only=False)
         )
+    else:
+        # the reference always clusters pretrained conv5 descriptors
+        # (cluster.py:42-44 via torchvision pretrained=True); random-weight
+        # centroids are meaningless for training, so say so loudly
+        print(
+            f"WARNING: {matconvnet} not found — clustering RANDOM backbone "
+            f"descriptors. The resulting centroids are only useful for "
+            f"smoke tests; place the MatConvNet weights in --logs-dir for "
+            f"a real NetVLAD init.",
+            file=sys.stderr,
+        )
     centroids, descs = bootstrap_centroids(
         cfg, dataset, base, params, seed=args.seed
     )

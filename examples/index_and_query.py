@@ -42,24 +42,30 @@ def build(args):
         verbose=True,
     )
     index_path = args.index if args.index.endswith(".npz") else args.index + ".npz"
-    extra = {}
-    if args.ivf_nlist:
-        from openibl_tpu.ops.ivf import build_ivf
-
-        ivf = build_ivf(feats, nlist=args.ivf_nlist)
-        extra = {"ivf_centroids": ivf["centroids"],
-                 "ivf_lists": ivf["lists"]}
-        print(f"IVF: {ivf['lists'].shape[0]} cells x "
-              f"{ivf['lists'].shape[1]} capacity")
+    # quantize BEFORE fitting IVF: build_ivf must see the same vectors the
+    # search will run over (codes * scales for int8, the f16 rounding for
+    # f16) — cells assigned on pre-quantization floats would mis-place rows
+    # near cell boundaries and silently cost recall
+    payload = {"paths": np.array(paths)}
     if args.store_dtype == "int8":
         from openibl_tpu.ops.distance import quantize_index_int8
 
         codes, scales = quantize_index_int8(feats)
-        np.savez(index_path, descriptors=codes, scales=scales,
-                 paths=np.array(paths), **extra)
+        payload.update(descriptors=codes, scales=scales)
+        search_vectors = codes.astype(np.float32) * scales[:, None]
     else:
-        np.savez(index_path, descriptors=feats.astype(args.store_dtype),
-                 paths=np.array(paths), **extra)
+        stored = feats.astype(args.store_dtype)
+        payload.update(descriptors=stored)
+        search_vectors = stored.astype(np.float32)
+    if args.ivf_nlist:
+        from openibl_tpu.ops.ivf import build_ivf
+
+        ivf = build_ivf(search_vectors, nlist=args.ivf_nlist)
+        payload.update(ivf_centroids=ivf["centroids"],
+                       ivf_lists=ivf["lists"])
+        print(f"IVF: {ivf['lists'].shape[0]} cells x "
+              f"{ivf['lists'].shape[1]} capacity")
+    np.savez(index_path, **payload)
     print(f"wrote {index_path}: {feats.shape} descriptors "
           f"({args.store_dtype})")
 

@@ -48,9 +48,16 @@ def make_handler(service):
                 from PIL import Image
 
                 img = Image.open(io.BytesIO(self.rfile.read(length)))
-                matches = service.query([img], topk=topk)[0]
-            except Exception as e:  # noqa: BLE001 - report to the client
+            except Exception as e:  # noqa: BLE001 - malformed request
                 return self._json(400, {"error": f"{type(e).__name__}: {e}"})
+            try:
+                matches = service.query([img], topk=topk)[0]
+            except ValueError as e:  # bad image shape/dtype = client error
+                return self._json(400, {"error": f"{type(e).__name__}: {e}"})
+            except Exception as e:  # noqa: BLE001 — device/model failure:
+                # a 500 so load balancers retry/alert instead of treating a
+                # backend outage as a bad request
+                return self._json(500, {"error": f"{type(e).__name__}: {e}"})
             return self._json(200, {"matches": matches})
 
         def log_message(self, fmt, *args):  # quiet default access log

@@ -187,13 +187,18 @@ class PaddedBatchLoader:
         self.batch_size = batch_size
         self.prefetch_depth = prefetch
         self._buckets = None
+        self._cache = {}
 
     def _shape(self, i):
         shape = None
         if hasattr(self.source, "shape_of"):
             shape = self.source.shape_of(int(i))
         if shape is None:
-            shape = self.source.load(int(i)).shape
+            # no header-only probe: keep the decoded pixels for _gen so
+            # bucketing doesn't double the decode cost of the whole split
+            img = self.source.load(int(i))
+            self._cache[int(i)] = img
+            shape = img.shape
         return tuple(shape[:2])
 
     def _ensure_buckets(self):
@@ -225,7 +230,11 @@ class PaddedBatchLoader:
                 if count < bs:
                     idx = np.concatenate([idx, np.repeat(idx[-1:], bs - count)])
                     hws = np.concatenate([hws, np.repeat(hws[-1:], bs - count, 0)])
-                first = self.source.load(int(idx[0]))
+                def load_once(i):
+                    im = self._cache.pop(i, None)
+                    return im if im is not None else self.source.load(i)
+
+                first = load_once(int(idx[0]))
                 imgs = np.zeros((bs, hb, wb, 3), first.dtype)
                 prev_i, prev_im = int(idx[0]), first
                 for j, i in enumerate(idx):
@@ -233,7 +242,7 @@ class PaddedBatchLoader:
                     if i != prev_i:
                         # tail batches repeat the last index as padding —
                         # don't re-decode the same image per pad slot
-                        prev_i, prev_im = i, self.source.load(i)
+                        prev_i, prev_im = i, load_once(i)
                     im = prev_im
                     imgs[j, : im.shape[0], : im.shape[1]] = im
                 yield imgs, hws, idx, count
@@ -294,11 +303,16 @@ class GroupedBatchLoader:
                 count = len(idx)
                 if count < bs:
                     idx = np.concatenate([idx, np.repeat(idx[-1:], bs - count)])
-                imgs = np.stack(
-                    [self._cache.pop(int(i))
-                     if int(i) in self._cache else self.source.load(int(i))
-                     for i in idx]
-                )
+                # per-batch memo: tail padding repeats the last index — load
+                # it once, not once per pad slot
+                memo = {}
+                for i in idx:
+                    i = int(i)
+                    if i not in memo:
+                        im = self._cache.pop(i, None)
+                        memo[i] = (im if im is not None
+                                   else self.source.load(i))
+                imgs = np.stack([memo[int(i)] for i in idx])
                 yield imgs, idx, count
 
     def __iter__(self):

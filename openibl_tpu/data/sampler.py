@@ -224,10 +224,14 @@ class DiffTupleSampler(TupleSampler):
 def slice_indices(n, n_shards, shard):
     """Contiguous per-shard slices with tail padding (reference
     DistributedSliceSampler, sampler.py:194-223) — used to shard gallery
-    extraction across hosts so rank-ordered reassembly works."""
+    extraction across hosts so rank-ordered reassembly works.
+
+    np.resize cycles the index list however much padding is needed, so every
+    shard has EXACTLY ``per`` rows even when n < n_shards (a single slice of
+    idx[:pad] could come up short there, leaving empty shards whose
+    different-length outputs desync the positional reassembly)."""
     per = -(-n // n_shards)
-    idx = np.arange(n)
-    idx = np.concatenate([idx, idx[: per * n_shards - n]])
+    idx = np.resize(np.arange(n), per * n_shards)
     return idx[shard * per : (shard + 1) * per]
 
 

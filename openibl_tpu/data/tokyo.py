@@ -16,15 +16,10 @@ parse-then-group pipeline instead of in-place registry mutation:
 
 import os.path as osp
 import random
-from collections import namedtuple
 from itertools import chain
 
 from openibl_tpu.data.dataset import Dataset, write_json
-from openibl_tpu.data.pitts import read_mat_struct
-
-DbStruct = namedtuple(
-    "DbStruct", ["dbImage", "utmDb", "qImage", "utmQ", "numDb", "numQ"]
-)
+from openibl_tpu.data.pitts import DbStruct, read_mat_struct
 
 
 def parse_db_struct(path, time_stamp=True):

@@ -14,14 +14,22 @@ import numpy as np
 
 
 def _plus_plus_init(rng, x, k):
-    """k-means++ seeding (host-side; k is small)."""
+    """k-means++ seeding (host-side; k is small).
+
+    When every remaining point coincides with a chosen center (duplicate-
+    heavy data, or k exceeding the distinct-row count), the D² weights are
+    all zero — fall back to uniform sampling instead of crashing in
+    np.random.choice (sklearn's k-means++ tolerates this case too)."""
     n = x.shape[0]
     rs = np.random.RandomState(int(rng))
     centers = [x[rs.randint(n)]]
     d2 = ((x - centers[0]) ** 2).sum(-1)
     for _ in range(k - 1):
-        probs = d2 / max(d2.sum(), 1e-12)
-        idx = rs.choice(n, p=probs)
+        total = d2.sum()
+        if total > 0:
+            idx = rs.choice(n, p=d2 / total)
+        else:
+            idx = rs.randint(n)
         centers.append(x[idx])
         d2 = np.minimum(d2, ((x - centers[-1]) ** 2).sum(-1))
     return np.stack(centers)
@@ -33,11 +41,14 @@ def _lloyd(x, centers, iters):
     k = centers.shape[0]
     x2 = jnp.sum(jnp.square(x), axis=1, keepdims=True)
 
-    def body(centers, _):
+    def assign_d2(centers):
         c2 = jnp.sum(jnp.square(centers), axis=1)[None, :]
-        d2 = x2 + c2 - 2.0 * jnp.dot(
+        return x2 + c2 - 2.0 * jnp.dot(
             x, centers.T, preferred_element_type=jnp.float32
         )
+
+    def body(centers, _):
+        d2 = assign_d2(centers)
         assign = jnp.argmin(d2, axis=1)
         one_hot = jax.nn.one_hot(assign, k, dtype=jnp.float32)
         counts = one_hot.sum(axis=0)  # (K,)
@@ -45,10 +56,13 @@ def _lloyd(x, centers, iters):
         new_centers = sums / jnp.maximum(counts, 1.0)[:, None]
         # keep empty clusters where they were
         new_centers = jnp.where(counts[:, None] > 0, new_centers, centers)
-        return new_centers, jnp.min(d2, axis=1).mean()
+        return new_centers, None
 
-    centers, inertia = jax.lax.scan(body, centers, None, length=iters)
-    return centers, inertia[-1]
+    centers, _ = jax.lax.scan(body, centers, None, length=iters)
+    # inertia of the RETURNED centers (inside the scan the metric lagged one
+    # Lloyd step: it was computed against the pre-update carry)
+    inertia = jnp.min(assign_d2(centers), axis=1).mean()
+    return centers, inertia
 
 
 def kmeans(x, k, iters=100, seed=0):

@@ -49,11 +49,18 @@ def save_checkpoint(path, tree, metadata=None, is_best=False):
     arrays["__meta__"] = np.frombuffer(
         json.dumps({"metadata": metadata or {}}).encode(), dtype=np.uint8
     )
-    np.savez(path, **arrays)
     if not path.endswith(".npz"):
         path = path + ".npz"
+    # write-to-tmp + atomic rename: an abort mid-write (Watchdog os._exit,
+    # OOM kill, tunnel hang) must never corrupt the previous good checkpoint
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **arrays)
+    os.replace(tmp, path)
     if is_best:
-        shutil.copy(path, osp.join(osp.dirname(path) or ".", "model_best.npz"))
+        best = osp.join(osp.dirname(path) or ".", "model_best.npz")
+        shutil.copy(path, best + ".tmp")
+        os.replace(best + ".tmp", best)
     return path
 
 

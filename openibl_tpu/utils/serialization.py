@@ -17,6 +17,6 @@ from openibl_tpu.models.convert import merge_params as copy_state_dict  # noqa: 
 
 def read_mat(path, key="dbStruct"):
     """Load a MATLAB struct array entry (NetVLAD dbStruct files)."""
-    from scipy.io import loadmat
+    from openibl_tpu.data.pitts import read_mat_struct
 
-    return loadmat(path)[key].item()
+    return read_mat_struct(path, key)
