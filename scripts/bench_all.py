@@ -24,6 +24,9 @@ SUITE = [
     ("extract_fused", ["--metric", "extract"]),
     ("extract_nofused", ["--metric", "extract", "--no-fused"]),
     ("query", ["--metric", "query", "--iters", "30"]),
+    ("query_device", ["--metric", "query", "--device-time"]),
+    ("query_ivf32", ["--metric", "query", "--iters", "30",
+                     "--ivf-nprobe", "32"]),
     ("train", ["--metric", "train"]),
 ]
 

@@ -107,6 +107,41 @@ class TestLoader:
         (batch,) = list(loader)
         assert batch.shape == (1, 3, 24, 32, 3)
 
+    def test_variable_shape_loaders_decode_each_image_once(self):
+        """Bucketing/grouping without a header-only shape probe must reuse
+        the decoded pixels, and tail padding must not re-decode the repeated
+        image — host decode is the stated bottleneck on the 1-core host."""
+        from collections import Counter
+
+        from openibl_tpu.data.loader import (
+            GroupedBatchLoader, PaddedBatchLoader,
+        )
+
+        class CountingSource:  # no shape_of: forces the decode-to-probe path
+            def __init__(self, shapes):
+                self.shapes = shapes
+                self.loads = Counter()
+
+            def __len__(self):
+                return len(self.shapes)
+
+            def load(self, i):
+                self.loads[int(i)] += 1
+                h, w = self.shapes[int(i)]
+                return np.full((h, w, 3), float(i), np.float32)
+
+        shapes = [(8, 12), (8, 12), (12, 8), (8, 12), (12, 8)]
+        src = CountingSource(shapes)
+        batches = list(PaddedBatchLoader(src, batch_size=2, prefetch=0))
+        total = sum(c for *_, c in batches)
+        assert total == len(shapes)
+        assert all(v == 1 for v in src.loads.values()), src.loads
+
+        src2 = CountingSource(shapes)
+        batches = list(GroupedBatchLoader(src2, batch_size=2, prefetch=0))
+        assert sum(c for *_, c in batches) == len(shapes)
+        assert all(v == 1 for v in src2.loads.values()), src2.loads
+
     def test_prefetch_abandoned_consumer_releases_worker(self):
         """A consumer that abandons iteration mid-stream (train-step error,
         watchdog abort) must not leave the producer thread blocked forever
