@@ -641,3 +641,69 @@ class TestTrainStepOracle:
                 )
                 n_trained += 1
         assert n_trained >= 5 and n_frozen >= 10, (n_trained, n_frozen)
+
+    def test_steplr_boundary_matches(self, ref_netvlad_mod, ref_trainers_mod,
+                                     rng):
+        """One step on each side of the StepLR decay boundary (epoch 4 at
+        base lr, epoch 5 at base*gamma — the published step_size=5 gamma=0.5
+        schedule, train_baseline_dist.sh:31-33): catches scheduler off-by-one
+        or decay-placement drift the fixed-lr parity test cannot see."""
+        G = 2 + self.NEG
+        ref = ref_netvlad_mod.EmbedNet(
+            TorchVGGBase(seed=13), _rand_netvlad(ref_netvlad_mod, self.K, 12)
+        ).train()
+        for i, m in enumerate(ref.base_model.base):
+            if i < 24:
+                for p in m.parameters():
+                    p.requires_grad = False
+        opt = torch.optim.SGD(
+            [p for p in ref.parameters() if p.requires_grad],
+            lr=self.LR, momentum=self.MOM, weight_decay=self.WD,
+        )
+        sched = torch.optim.lr_scheduler.StepLR(opt, step_size=5, gamma=0.5)
+        rtrainer = ref_trainers_mod.Trainer(model=None, margin=self.MARGIN)
+
+        from openibl_tpu.engine.trainer import Trainer as OurTrainer
+
+        ours = models.create(
+            "embednet", net_vlad=models.NetVLAD(num_clusters=self.K)
+        )
+        params = convert.embednet_params_from_torch(ref.state_dict())
+        trainer = OurTrainer(
+            ours, loss_type="sare_ind", margin=self.MARGIN, lr=self.LR,
+            momentum=self.MOM, weight_decay=self.WD,
+        )
+        opt_state = trainer.init(params)
+
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")  # StepLR-before-step advisory
+            for _ in range(4):  # fast-forward the schedule to epoch 4
+                sched.step()
+
+        x = _images(rng, self.T * G, 32, 48)
+        x_ours = jnp.asarray(
+            np.transpose(x, (0, 2, 3, 1)).reshape(self.T, G, 32, 48, 3)
+        )
+        for epoch in (4, 5):
+            opt_state = trainer.set_epoch_lr(opt_state, epoch, 5, 0.5)
+            expect_lr = self.LR * (0.5 if epoch >= 5 else 1.0)
+            assert abs(opt.param_groups[0]["lr"] - expect_lr) < 1e-12
+            opt.zero_grad()
+            _, vlad_ref = ref(torch.from_numpy(x))
+            rtrainer._get_loss(vlad_ref, "sare_ind", self.T, G).backward()
+            opt.step()
+            params, opt_state, _ = trainer.step(params, opt_state, x_ours)
+            sched.step()
+
+        after_ref = convert.embednet_params_from_torch(ref.state_dict())
+        for (path, ours_leaf), (_, ref_leaf) in zip(
+            jax.tree_util.tree_flatten_with_path(params)[0],
+            jax.tree_util.tree_flatten_with_path(after_ref)[0],
+        ):
+            np.testing.assert_allclose(
+                np.asarray(ours_leaf), np.asarray(ref_leaf),
+                rtol=1e-4, atol=2e-6,
+                err_msg=jax.tree_util.keystr(path),
+            )
