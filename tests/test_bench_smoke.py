@@ -29,6 +29,14 @@ def _run_bench(argv, capsys):
      "--height", "64", "--width", "64", "--dtype", "float32"],
     ["--metric", "query", "--gallery-size", "256", "--iters", "2",
      "--height", "64", "--width", "64", "--dtype", "float32"],
+    ["--metric", "query", "--gallery-size", "512", "--iters", "2",
+     "--height", "64", "--width", "64", "--dtype", "float32",
+     "--ivf-nprobe", "8"],
+    ["--metric", "query", "--gallery-size", "256", "--iters", "2",
+     "--height", "64", "--width", "64", "--dtype", "float32",
+     "--device-time"],
+    ["--batch-size", "2", "--iters", "2", "--height", "64", "--width", "64",
+     "--dtype", "float32", "--fused-conv1"],
 ])
 def test_bench_emits_json(metric_args, capsys):
     payload = _run_bench(metric_args, capsys)
