@@ -35,6 +35,7 @@ TASKS=(
   "train_ts6|900|python -u bench.py --metric train --batch-size 6"
   "train_ts8|900|python -u bench.py --metric train --batch-size 8"
   "profile_trace|1200|python -u scripts/profile_phases.py"
+  "bench_all|3000|python -u scripts/bench_all.py --round 3"
 )
 
 # Attempts only count toward .fail when the task failed while the tunnel was
