@@ -69,6 +69,7 @@ def main():
                         "transfers can block indefinitely)")
     args = p.parse_args()
 
+    deadline_timer = None
     if args.max_seconds > 0:
         import os
         import threading
@@ -81,10 +82,20 @@ def main():
             )
             os._exit(3)
 
-        t = threading.Timer(args.max_seconds, _deadline)
-        t.daemon = True
-        t.start()
+        deadline_timer = threading.Timer(args.max_seconds, _deadline)
+        deadline_timer.daemon = True
+        deadline_timer.start()
 
+    try:
+        _bench_body(args)
+    finally:
+        # cancel so in-process embedders (the smoke tests exec this file)
+        # don't inherit a live os._exit timer after a successful run
+        if deadline_timer is not None:
+            deadline_timer.cancel()
+
+
+def _bench_body(args):
     import jax
 
     if args.cpu:
@@ -277,6 +288,12 @@ def main():
         if rate > best:
             best, best_bs = rate, bs
 
+    if best_bs == 0:
+        # every batch size failed persistently: a 0.0 img/s "success" would
+        # be recorded by automation as a valid benchmark — fail loudly
+        print("bench: no batch size completed (persistent device failure)",
+              file=sys.stderr, flush=True)
+        sys.exit(1)
     conv1_suffix = "_conv1fused" if args.fused_conv1 else ""
     print(json.dumps({
         "metric": f"descriptor_images_per_sec_per_chip_{args.height}x{args.width}_{args.dtype}_bs{best_bs}{conv1_suffix}",

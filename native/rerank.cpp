@@ -2,9 +2,13 @@
 //
 // Computes, for every item i of an (n x n) distance matrix with precomputed
 // row-wise ranking, the k-reciprocal neighbor expansion set and its
-// exp(-d) L1-normalized weights (the "V" rows). This is the published
-// k-reciprocal encoding (CVPR'17) step 2+3; the per-item candidate loops are
-// irregular pointer-chasing, hence C++ instead of numpy.
+// exp(-d) L1-normalized weights (the "V" rows), plus the per-query min/sum
+// Jaccard intersection. This is the published k-reciprocal encoding
+// (CVPR'17) as vendored by the reference — expansion + weights:
+// /root/reference/ibl/utils/rerank.py:50-68; the 2/3-overlap candidate
+// expansion criterion: rerank.py:63; Jaccard min/sum: rerank.py:84-92.
+// The per-item candidate loops are irregular pointer-chasing, hence C++
+// instead of numpy.
 //
 // Exported C ABI consumed by openibl_tpu/ops/_native.py via ctypes.
 

@@ -2,18 +2,24 @@
 emitting exactly one valid JSON line per metric."""
 
 import json
+import os.path as osp
 import sys
 
 import pytest
 
+BENCH = osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))), "bench.py")
+
 
 def _run_bench(argv, capsys):
     old = sys.argv
-    sys.argv = ["bench.py"] + argv
+    # --max-seconds 0: the deadline is an os._exit(3) timer — even though
+    # bench.py cancels it on normal completion, never arm a process-killer
+    # inside the pytest process
+    sys.argv = ["bench.py"] + argv + ["--max-seconds", "0"]
     try:
-        with open("bench.py") as f:
+        with open(BENCH) as f:
             code = f.read()
-        exec(compile(code, "bench.py", "exec"), {"__name__": "__main__"})
+        exec(compile(code, BENCH, "exec"), {"__name__": "__main__"})
     finally:
         sys.argv = old
     out = capsys.readouterr().out.strip().splitlines()

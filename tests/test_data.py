@@ -206,18 +206,44 @@ class TestSamplers:
                 assert n not in synth.train_neg[a]
 
     def test_neg_cache_union(self, synth, rng):
+        """Reference pool ∪ cache semantics (sampler.py:79-84): refresh N+1
+        mines over (fresh random pool) ∪ (refresh N's chosen negatives), so
+        with unchanged descriptors each anchor's selected-negative distances
+        can only get HARDER (elementwise non-increasing when sorted) — a
+        regression that drops the cache union would let them regress
+        whenever the new random pool misses the old hard negatives."""
         qf, gf = self._features(synth, rng)
         s = TupleSampler(
             len(synth.q_train), len(synth.db_train),
             synth.train_pos, synth.train_neg, neg_num=3, neg_pool=5, seed=0,
         )
         sub = np.arange(3)
+        nq = len(synth.q_train)
+        d2 = ((qf[:, None] - gf[None]) ** 2).sum(-1)
+
+        def sorted_neg_dists():
+            out = {}
+            for tup in s.tuples:
+                a = tup[0]
+                out[a] = np.sort([d2[a, n - nq] for n in tup[2:]])
+            return out
+
         s.refresh(qf[sub], gf, sub)
-        first_negs = {tuple(sorted(t[2:])) for t in s.tuples}
-        assert (s.neg_cache[sub] >= 0).all()
-        s.refresh(qf[sub], gf, sub)  # second refresh must include cache
-        assert (s.neg_cache[sub] >= 0).all()
-        assert first_negs  # smoke
+        # the cache IS the chosen negatives of the last refresh
+        for tup in s.tuples:
+            assert sorted(n - nq for n in tup[2:]) == sorted(
+                s.neg_cache[tup[0]].tolist()
+            )
+        first = sorted_neg_dists()
+        for _ in range(3):  # several re-pools, same features
+            s.refresh(qf[sub], gf, sub)
+            second = sorted_neg_dists()
+            for a in first:
+                assert np.all(second[a] <= first[a] + 1e-6), (
+                    f"anchor {a}: negatives got easier across refreshes — "
+                    f"the neg cache was not unioned into the candidates"
+                )
+            first = second
 
     def test_diff_sampler_tuple_shape(self, synth, rng):
         qf, gf = self._features(synth, rng)

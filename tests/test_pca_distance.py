@@ -21,18 +21,34 @@ class TestPCA:
         np.testing.assert_allclose(cov, np.eye(k), atol=0.15)
 
     def test_primal_equals_dual(self, rng):
-        # D > N triggers the dual (gram) path; both must give the same
-        # projection up to per-component sign.
-        n, d, k = 20, 50, 5
-        x = rng.randn(n, d).astype(np.float32)
-        params_dual = pca_ops.pca_train(x, n_components=k)  # D > N: dual
-        x_big = np.concatenate([x] * 4, axis=0)  # N > D: primal (same span? no)
-        # instead check U columns are orthonormal-ish directions of X
-        u = np.asarray(params_dual["U"])
-        assert u.shape == (d, min(k, n))
-        # projection reconstructs variance ordering
-        lams = np.asarray(params_dual["lams"])
-        assert np.all(np.diff(lams) <= 1e-5)
+        """Both pca_train branches must agree with a numpy eigh oracle of
+        the covariance, up to per-component sign: the dual (gram) path on
+        D > N data and the primal path on N > D data each reproduce the
+        oracle's eigenvalues AND eigenvectors (a wrong-but-well-shaped dual
+        reconstruction would slip past shape/ordering checks)."""
+
+        def numpy_primal(x, k):
+            mu = x.mean(0)
+            cov = (x - mu).T @ (x - mu) / (len(x) - 1)
+            lams, u = np.linalg.eigh(cov)
+            order = np.argsort(-lams)[:k]
+            return u[:, order], lams[order]
+
+        def assert_matches(params, x, k):
+            u_ref, lams_ref = numpy_primal(x, k)
+            u, lams = np.asarray(params["U"]), np.asarray(params["lams"])
+            assert u.shape == (x.shape[1], k)
+            np.testing.assert_allclose(lams, lams_ref, rtol=1e-3, atol=1e-5)
+            for j in range(k):
+                diff = min(np.linalg.norm(u[:, j] - u_ref[:, j]),
+                           np.linalg.norm(u[:, j] + u_ref[:, j]))
+                assert diff < 1e-2, f"component {j} diverges by {diff}"
+
+        k = 5
+        x_dual = rng.randn(20, 50).astype(np.float32)  # D > N: dual path
+        assert_matches(pca_ops.pca_train(x_dual, k), x_dual, k)
+        x_primal = rng.randn(80, 30).astype(np.float32)  # N > D: primal
+        assert_matches(pca_ops.pca_train(x_primal, k), x_primal, k)
 
     def test_apply_is_normalized(self, rng):
         x = rng.randn(100, 16).astype(np.float32)
