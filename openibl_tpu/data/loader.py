@@ -172,8 +172,10 @@ class PaddedBatchLoader:
     padded to its max (H, W); with the masked model forward
     (EmbedNet.apply_masked) one jit specialization per bucket serves every
     aspect ratio exactly — vs the reference's batch-1 per-shape queries
-    (/root/reference/examples/test.py:44-46) and GroupedBatchLoader's
-    compile-per-shape. Fixed shapes also make the batches mesh-shardable.
+    (/root/reference/examples/test.py:44-46). Fixed shapes also make the
+    batches mesh-shardable. This is THE variable-shape strategy (an earlier
+    compile-per-shape GroupedBatchLoader was pruned in round 4 — one
+    strategy owns the path).
 
     Yields (images (B, Hb, Wb, 3), valid_hw (B, 2) int32, indices, count).
     """
@@ -188,16 +190,26 @@ class PaddedBatchLoader:
         self.prefetch_depth = prefetch
         self._buckets = None
         self._cache = {}
+        self._cache_bytes = 0
+        # decode-once cache cap: without a header-only shape_of, bucketing
+        # decodes the whole split up front — an unbounded cache would hold
+        # every pixel of the split in host RAM at once (GBs at the
+        # reference's 480x640 scale on the 1-core host, ADVICE r3). Beyond
+        # the cap, _shape keeps only the shape and _gen re-decodes. Sources
+        # at scale should provide shape_of (ImageSource does).
+        self._cache_cap_bytes = 256 * 1024 * 1024
 
     def _shape(self, i):
         shape = None
         if hasattr(self.source, "shape_of"):
             shape = self.source.shape_of(int(i))
         if shape is None:
-            # no header-only probe: keep the decoded pixels for _gen so
-            # bucketing doesn't double the decode cost of the whole split
+            # no header-only probe: keep the decoded pixels for _gen (up to
+            # the byte cap) so bucketing doesn't double the decode cost
             img = self.source.load(int(i))
-            self._cache[int(i)] = img
+            if self._cache_bytes + img.nbytes <= self._cache_cap_bytes:
+                self._cache[int(i)] = img
+                self._cache_bytes += img.nbytes
             shape = img.shape
         return tuple(shape[:2])
 
@@ -246,74 +258,6 @@ class PaddedBatchLoader:
                     im = prev_im
                     imgs[j, : im.shape[0], : im.shape[1]] = im
                 yield imgs, hws, idx, count
-
-    def __iter__(self):
-        return _prefetch(self._gen(), self.prefetch_depth)
-
-
-class GroupedBatchLoader:
-    """Batches items grouped by transformed image shape.
-
-    For Tokyo 24/7's aspect-preserving query resize the reference falls back
-    to batch size 1 (/root/reference/examples/test.py:44-46); grouping by
-    shape keeps batching (one jit specialization per distinct shape instead
-    of per image).
-    """
-
-    def __init__(self, source: ImageSource, indices=None, batch_size=32,
-                 prefetch=2):
-        self.source = source
-        self.indices = (
-            np.arange(len(source)) if indices is None else np.asarray(indices)
-        )
-        self.batch_size = batch_size
-        self.prefetch_depth = prefetch
-        self._groups = None
-
-    def _ensure_groups(self):
-        if self._groups is not None:
-            return
-        groups = {}
-        self._cache = {}
-        for i in self.indices:
-            # header-only shape probe when the transform supports it — avoids
-            # decoding and holding the whole split in RAM up front
-            shape = None
-            if hasattr(self.source, "shape_of"):
-                shape = self.source.shape_of(int(i))
-            if shape is None:
-                img = self.source.load(int(i))
-                shape = img.shape
-                self._cache[int(i)] = img
-            groups.setdefault(tuple(shape), []).append(int(i))
-        self._groups = groups
-
-    def __len__(self):
-        self._ensure_groups()
-        return sum(
-            -(-len(g) // self.batch_size) for g in self._groups.values()
-        )
-
-    def _gen(self):
-        self._ensure_groups()
-        bs = self.batch_size
-        for shape, idx_list in self._groups.items():
-            for s in range(0, len(idx_list), bs):
-                idx = np.asarray(idx_list[s : s + bs])
-                count = len(idx)
-                if count < bs:
-                    idx = np.concatenate([idx, np.repeat(idx[-1:], bs - count)])
-                # per-batch memo: tail padding repeats the last index — load
-                # it once, not once per pad slot
-                memo = {}
-                for i in idx:
-                    i = int(i)
-                    if i not in memo:
-                        im = self._cache.pop(i, None)
-                        memo[i] = (im if im is not None
-                                   else self.source.load(i))
-                imgs = np.stack([memo[int(i)] for i in idx])
-                yield imgs, idx, count
 
     def __iter__(self):
         return _prefetch(self._gen(), self.prefetch_depth)

@@ -281,16 +281,21 @@ def run_baseline_training(cfg, mesh=None, verbose=True, timer=None):
         ):
             # mining: fresh gallery + subset-anchor descriptors. The sharded
             # helper splits the work per host (DCN all-gather reassembly) and
-            # is a plain mesh pass single-process.
+            # is a plain mesh pass single-process. device_output keeps the
+            # (G, D) gallery HBM-resident between extraction and mining —
+            # no host round trip (the multi-host path reassembles via numpy
+            # all-gather and ignores the flag).
             with _WATCHDOG.watch(f"mining extraction epoch {epoch}-{subid}"), \
                     timer.phase("mining_extract"):
                 g_feats = extract_features_sharded(
                     emodel.apply, params, sources["db_train"],
                     batch_size=bs, mesh=mesh, feature=feature, prefetch=pf,
+                    device_output=True,
                 )
                 q_feats = extract_features_sharded(
                     emodel.apply, params, sources["q_train"], indices=subset,
                     batch_size=bs, mesh=mesh, feature=feature, prefetch=pf,
+                    device_output=True,
                 )
             with timer.phase("mining_refresh"):
                 tuples = sampler.refresh(q_feats, g_feats, subset)
@@ -486,10 +491,15 @@ def run_sfrs_training(cfg, mesh=None, verbose=True, timer=None):
                                cfg.step_size, cfg.seed, cfg.tuple_size)
             ):
                 jaccard_rows = None
+                # gen 0 mines on euclidean distances only: the gallery can
+                # stay HBM-resident end-to-end. gen > 0 builds the sparse
+                # Jaccard structures on host (numpy), so it keeps the numpy
+                # output.
                 with timer.phase("mining_extract"):
                     g_feats = extract_features_sharded(
                         emodel.apply, params, sources["db_train"],
                         batch_size=bs, mesh=mesh, prefetch=pf,
+                        device_output=(gen == 0),
                     )
                 if gen > 0:
                     # Jaccard mining over the full q∪g union
@@ -529,7 +539,7 @@ def run_sfrs_training(cfg, mesh=None, verbose=True, timer=None):
                         q_feats = extract_features_sharded(
                             emodel.apply, params, sources["q_train"],
                             indices=subset, batch_size=bs, mesh=mesh,
-                            prefetch=pf,
+                            prefetch=pf, device_output=True,
                         )
                 with timer.phase("mining_refresh"):
                     tuples = sampler.refresh(q_feats, g_feats, subset,

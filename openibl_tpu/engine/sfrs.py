@@ -56,8 +56,8 @@ class SFRSTrainer(MeshBatchMixin):
         )
         self.tx = None
         self._steps = {}
-        # (host_tree_id, globalized_tree): the teacher changes once per
-        # generation but train_epoch runs once per subset — without the
+        # (host_tree, leaf_ids, globalized_tree): the teacher changes once
+        # per generation but train_epoch runs once per subset — without the
         # cache every subset would re-broadcast the full teacher over
         # H2D+DCN in multi-host runs
         self._teacher_cache = None
@@ -185,12 +185,20 @@ class SFRSTrainer(MeshBatchMixin):
             from openibl_tpu.parallel.mesh import globalize_tree
 
             params = globalize_tree(self.mesh, params)
+            # cache contract: the teacher tree must be REBOUND when it
+            # changes (the pipeline produces it via copy_tree once per
+            # generation), never mutated in place. The leaf-id tuple also
+            # invalidates on in-place dict-level swaps (ADVICE r3) — jax
+            # arrays themselves are immutable, so leaf identity pins value
+            # identity.
             cache = self._teacher_cache
-            if cache is not None and cache[0] is teacher_params:
-                teacher_params = cache[1]
+            leaf_ids = tuple(id(l) for l in jax.tree.leaves(teacher_params))
+            if (cache is not None and cache[0] is teacher_params
+                    and cache[1] == leaf_ids):
+                teacher_params = cache[2]
             else:
                 globalized = globalize_tree(self.mesh, teacher_params)
-                self._teacher_cache = (teacher_params, globalized)
+                self._teacher_cache = (teacher_params, leaf_ids, globalized)
                 teacher_params = globalized
             opt_state = globalize_tree(self.mesh, opt_state)
         step = self.step_fn(gen)

@@ -71,11 +71,12 @@ def build_ivf(descriptors, nlist=None, maxlen=None, iters=25, seed=0,
     # cells greedily on host
     depth = min(nlist, 8)
     _, ranked = topk_nearest(x, centroids, k=depth)
-    lists = fill_lists(np.asarray(ranked), nlist, maxlen)
+    lists = fill_lists(np.asarray(ranked), nlist, maxlen, x=x,
+                       centroids=np.asarray(centroids, np.float32))
     return {"centroids": centroids.astype(np.float32), "lists": lists}
 
 
-def fill_lists(ranked, nlist, maxlen):
+def fill_lists(ranked, nlist, maxlen, x=None, centroids=None):
     """Greedy capacity-capped cell assignment from per-row cell rankings.
 
     ``ranked`` (N, depth) int: each row's nearest cells, best first. A row
@@ -83,6 +84,13 @@ def fill_lists(ranked, nlist, maxlen):
     spill keeps shapes static without dropping rows — the search gathers
     cells, so membership must be a partition of the gallery). Returns the
     (nlist, maxlen) int32 id table, -1 padded.
+
+    Rows whose ranked cells are ALL full spill to the nearest open cell by
+    centroid distance when ``x``/``centroids`` are given (ADVICE r3: an
+    arbitrary open cell makes overflow rows near-unreachable at low nprobe —
+    a silent recall loss concentrated exactly on the dense regions that
+    overflow); without geometry they take the first open cell. A warning
+    reports the overflow count either way.
     """
     n = ranked.shape[0]
     if nlist * maxlen < n:
@@ -101,14 +109,30 @@ def fill_lists(ranked, nlist, maxlen):
                 break
         else:
             overflow.append(i)
-    if overflow:  # all ranked cells full: any cell with room
+    if overflow:  # all ranked cells full: spill to an open cell
+        import warnings
+
         open_cells = np.flatnonzero(fill < maxlen)
+        rank_geo = x is not None and centroids is not None
         for i in overflow:
-            c = open_cells[0]
+            if rank_geo:
+                d = np.sum(
+                    np.square(centroids[open_cells]
+                              - np.asarray(x[i], np.float32)), axis=1)
+                c = int(open_cells[np.argmin(d)])
+            else:
+                c = int(open_cells[0])
             lists[c, fill[c]] = i
             fill[c] += 1
             if fill[c] == maxlen:
-                open_cells = open_cells[1:]
+                open_cells = open_cells[open_cells != c]
+        warnings.warn(
+            f"IVF: {len(overflow)} rows overflowed their {ranked.shape[1]} "
+            f"nearest cells and spilled to the "
+            f"{'nearest' if rank_geo else 'first'} open cell — consider a "
+            f"larger maxlen if this is a large fraction of the gallery",
+            stacklevel=2,
+        )
     return lists
 
 

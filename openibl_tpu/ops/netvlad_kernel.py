@@ -1,8 +1,14 @@
 """Fused NetVLAD aggregation as a Pallas TPU kernel.
 
 The whole post-backbone descriptor head runs in one kernel per image, fully
-VMEM-resident (BASELINE.json north star; reference math at
-/root/reference/ibl/models/netvlad.py:44-61 and :76-80):
+VMEM-resident (reference math at /root/reference/ibl/models/netvlad.py:44-61
+and :76-80). Measured value, honestly stated: 1.7x the XLA head in
+isolation, but end-to-end extraction is conv-bound, so it buys ~0.5%
+(766.6 vs 762.4 img/s, logs/bench_r02.json) — the extraction perf frontier
+is the conv stack and input pipeline, not this head. It stays on because it
+is strictly faster, costs nothing, and is the repo's worked example of the
+Pallas pattern (VMEM-resident multi-matmul fusion) for ops where it WOULD
+dominate:
 
     x (P, C)  -- conv5 feature map flattened over H*W
     1. row L2-normalize                      (VPU)

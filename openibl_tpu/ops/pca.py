@@ -85,12 +85,19 @@ def pca_apply(x, proj, bias):
 
 
 def save_pca(params, path):
+    # atomic tmp + os.replace (mirrors utils/checkpoint.py): run_eval reuses
+    # an existing pca_params_*.h5 on a bare isfile() check, so a crash
+    # mid-save must never leave a truncated file that every later eval
+    # silently loads instead of refitting (ADVICE r3)
+    import os
+
+    tmp = str(path) + ".tmp"
     if str(path).endswith(".h5"):
         import h5py
 
         u = np.asarray(params["U"])
         mu = np.asarray(params["mu"])
-        with h5py.File(path, "w") as h5:
+        with h5py.File(tmp, "w") as h5:
             h5.create_dataset("U", data=u)
             h5.create_dataset("lams", data=np.asarray(params["lams"]))
             h5.create_dataset("mu", data=mu)
@@ -98,8 +105,9 @@ def save_pca(params, path):
     else:
         # np.savez appends '.npz' to a bare filename; write through an open
         # file object so the path on disk is EXACTLY what load_pca will open
-        with open(path, "wb") as f:
+        with open(tmp, "wb") as f:
             np.savez(f, **{k: np.asarray(v) for k, v in params.items()})
+    os.replace(tmp, path)
 
 
 def load_pca(path):

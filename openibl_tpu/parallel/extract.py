@@ -54,9 +54,21 @@ def make_extract_fn(apply_fn, mesh=None, pca_proj=None, pca_bias=None,
     )
 
 
+def _write_rows(buf, rows, start):
+    return jax.lax.dynamic_update_slice(buf, rows, (start, 0))
+
+
+# donate_argnums=0 aliases the output to ``buf``: each batch's rows land
+# in-place in the preallocated (N, D) HBM buffer, so device-resident
+# extraction peaks at N x D + one batch instead of 2 x N x D (a concat
+# would OOM a Pitts250k-scale 32k-dim gallery on a 16 GB chip).
+# ``start`` is a traced scalar — one compile covers every offset.
+_write_rows = jax.jit(_write_rows, donate_argnums=0)
+
+
 def extract_features(apply_fn, params, loader, mesh=None, pca=None,
                      feature="vlad", verbose=False, sort=True,
-                     masked_apply_fn=None):
+                     masked_apply_fn=None, device_output=False):
     """Extract descriptors for every item the loader yields.
 
     loader yields (images (B, H, W, 3), indices, count) — BatchLoader
@@ -65,6 +77,16 @@ def extract_features(apply_fn, params, loader, mesh=None, pca=None,
     EmbedNet.apply_masked). Returns (N, D) numpy array ordered by ascending
     loader index (``sort=True``) or in emission order (``sort=False``, used
     for positional multi-host reassembly).
+
+    ``device_output=True`` keeps the result in HBM as a jax.Array (same
+    ordering contract): batches are written into one preallocated buffer by
+    a donated dynamic_update_slice, so consumers like the hard-negative
+    miner (ops.distance.mine_hard_tuples) read the extraction output with
+    NO host round trip — the reference re-uploads its CPU feature store to
+    the GPU every refresh (/root/reference/examples/netvlad_img.py:73-83 via
+    ibl/utils/data/sampler.py); at Pitts250k scale that is ~11 GB of H2D
+    per refresh this mode deletes. Requires a loader exposing ``.indices``
+    (BatchLoader / PaddedBatchLoader do).
     """
     pca_proj = pca_bias = None
     if pca is not None:
@@ -80,6 +102,14 @@ def extract_features(apply_fn, params, loader, mesh=None, pca=None,
                                     feature=feature, masked=True)
     n_dev = mesh.size if mesh is not None else 1
 
+    if device_output:
+        if not hasattr(loader, "indices"):
+            raise ValueError(
+                "device_output=True needs a loader with .indices "
+                "(BatchLoader / PaddedBatchLoader) to size the HBM buffer"
+            )
+        n_total = len(loader.indices)
+
     # keep a couple of batches in flight: JAX's async dispatch then overlaps
     # host decode + H2D + D2H with device compute (large win behind
     # high-latency transports)
@@ -91,6 +121,7 @@ def extract_features(apply_fn, params, loader, mesh=None, pca=None,
             chunks.append(np.asarray(out)[:count])
             one = False
 
+    buf, offset = None, 0
     chunks, orders = [], []
     for i, batch in enumerate(loader):
         if len(batch) == 4:
@@ -115,13 +146,32 @@ def extract_features(apply_fn, params, loader, mesh=None, pca=None,
             out = fn(params, jnp.asarray(images))
         else:
             out = fn_masked(params, jnp.asarray(images), jnp.asarray(valid_hw))
-        in_flight.append((out, count))
+        if device_output:
+            if buf is None:
+                buf = jnp.zeros((n_total, out.shape[1]), out.dtype)
+                if mesh is not None:
+                    buf = jax.device_put(buf, replicated(mesh))
+            # all-async: the slice + in-place write queue behind the forward
+            # while the host decodes the next batch
+            buf = _write_rows(buf, out[:count], offset)
+            offset += count
+        else:
+            in_flight.append((out, count))
         orders.append(np.asarray(idx)[:count])
         drain()
         if verbose and (i + 1) % 10 == 0:
             print(f"  extract [{i + 1}/{len(loader)}]")
     while in_flight:
         drain(one=True)
+    if device_output:
+        assert offset == n_total, (offset, n_total)
+        if not sort:
+            return buf
+        order = np.concatenate(orders)
+        perm = np.argsort(order, kind="stable")
+        if np.array_equal(perm, np.arange(len(perm))):
+            return buf  # emission order already ascending (e.g. arange)
+        return jnp.take(buf, jnp.asarray(perm), axis=0)
     feats = np.concatenate(chunks)
     if not sort:
         return feats
@@ -131,7 +181,8 @@ def extract_features(apply_fn, params, loader, mesh=None, pca=None,
 
 def extract_features_sharded(apply_fn, params, source, indices=None,
                              batch_size=32, mesh=None, pca=None,
-                             feature="vlad", verbose=False, prefetch=2):
+                             feature="vlad", verbose=False, prefetch=2,
+                             device_output=False):
     """Multi-host-aware extraction.
 
     Single process: one sharded-over-mesh pass. Multi-host (DCN): each process
@@ -142,6 +193,11 @@ def extract_features_sharded(apply_fn, params, source, indices=None,
     host. A global (multi-process) ``mesh`` is reduced to this process's
     sub-mesh automatically — per-host batches can't shard over devices this
     host doesn't own.
+
+    ``device_output=True`` keeps the single-process result HBM-resident (see
+    extract_features) so mining consumes it with no host round trip; the
+    multi-host path ignores it — the cross-host all-gather reassembly is
+    numpy by design.
     """
     import jax as _jax
 
@@ -155,7 +211,8 @@ def extract_features_sharded(apply_fn, params, source, indices=None,
     if n_proc == 1:
         loader = BatchLoader(source, indices, batch_size, prefetch=prefetch)
         return extract_features(apply_fn, params, loader, mesh=mesh, pca=pca,
-                                feature=feature, verbose=verbose)
+                                feature=feature, verbose=verbose,
+                                device_output=device_output)
 
     from openibl_tpu.parallel.mesh import local_view_tree, process_local_mesh
 

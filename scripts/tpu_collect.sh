@@ -6,9 +6,9 @@
 # windows make incremental progress. Exits when every task is done.
 #
 # Launch detached:  setsid nohup bash scripts/tpu_collect.sh > /dev/null 2>&1 &
-# Progress:         tail -f logs/tpu_collect_r03/log.txt
+# Progress:         tail -f logs/tpu_collect_r04/log.txt
 set -u
-OUT=${TPU_COLLECT_OUT:-/root/repo/logs/tpu_collect_r03}
+OUT=${TPU_COLLECT_OUT:-/root/repo/logs/tpu_collect_r04}
 mkdir -p "$OUT"
 cd /root/repo
 
@@ -17,25 +17,27 @@ log() { echo "[$(date +%F' '%T)] $*" >> "$OUT/log.txt"; }
 probe() { timeout 60 python -c "import jax; jax.devices()" >/dev/null 2>&1; }
 
 # Single source of truth for the task list: "name|timeout|command".
-# Ordered by value: headline bench numbers first (what BENCH_r03 needs),
-# then the open kernel question, then sweeps.
+# Ordered per VERDICT r3 item 1 so a SHORT recovery window still yields the
+# flagship number: single bs128 extract first (r2 showed bs128 wins the
+# sweep), then train, then the honest device-time query, then the
+# mosaic probe that decides conv1_1, then the round-3 perf features
+# (fused conv1, IVF), then serving latency, sweeps, and profiles.
 TASKS=(
-  "bench_extract|1600|python -u bench.py --metric extract"
-  "bench_train|1600|python -u bench.py --metric train"
-  "bench_query|1600|python -u bench.py --metric query"
-  "query_device|1600|python -u bench.py --metric query --device-time"
-  "query_ivf32|1600|python -u bench.py --metric query --ivf-nprobe 32"
-  "query_ivf32_device|1600|python -u bench.py --metric query --ivf-nprobe 32 --device-time"
+  "bench_extract|1200|python -u bench.py --metric extract --batch-size 128"
+  "bench_train|1200|python -u bench.py --metric train"
+  "query_device|1200|python -u bench.py --metric query --device-time"
   "mosaic_probe|1200|python -u scripts/mosaic_probe.py"
   "extract_conv1|1200|python -u bench.py --metric extract --batch-size 128 --fused-conv1"
+  "bench_query|1200|python -u bench.py --metric query"
+  "query_ivf32|1200|python -u bench.py --metric query --ivf-nprobe 32"
+  "query_ivf32_device|1200|python -u bench.py --metric query --ivf-nprobe 32 --device-time"
+  "serving_latency|2400|python -u scripts/bench_serving.py --out logs/tpu_collect_r04/serving_latency.json"
   "selfcheck|1200|python -u scripts/tpu_selfcheck.py"
-  "extract_bs160|900|python -u bench.py --metric extract --batch-size 160"
-  "extract_bs192|900|python -u bench.py --metric extract --batch-size 192"
-  "extract_bs256|900|python -u bench.py --metric extract --batch-size 256"
+  "extract_sweep|1600|python -u bench.py --metric extract"
   "train_ts6|900|python -u bench.py --metric train --batch-size 6"
   "train_ts8|900|python -u bench.py --metric train --batch-size 8"
   "profile_trace|1200|python -u scripts/profile_phases.py"
-  "bench_all|3000|python -u scripts/bench_all.py --round 3"
+  "bench_all|3000|python -u scripts/bench_all.py --round 4"
 )
 
 # Attempts only count toward .fail when the task failed while the tunnel was

@@ -108,14 +108,12 @@ class TestLoader:
         assert batch.shape == (1, 3, 24, 32, 3)
 
     def test_variable_shape_loaders_decode_each_image_once(self):
-        """Bucketing/grouping without a header-only shape probe must reuse
-        the decoded pixels, and tail padding must not re-decode the repeated
+        """Bucketing without a header-only shape probe must reuse the
+        decoded pixels, and tail padding must not re-decode the repeated
         image — host decode is the stated bottleneck on the 1-core host."""
         from collections import Counter
 
-        from openibl_tpu.data.loader import (
-            GroupedBatchLoader, PaddedBatchLoader,
-        )
+        from openibl_tpu.data.loader import PaddedBatchLoader
 
         class CountingSource:  # no shape_of: forces the decode-to-probe path
             def __init__(self, shapes):
@@ -137,10 +135,6 @@ class TestLoader:
         assert total == len(shapes)
         assert all(v == 1 for v in src.loads.values()), src.loads
 
-        src2 = CountingSource(shapes)
-        batches = list(GroupedBatchLoader(src2, batch_size=2, prefetch=0))
-        assert sum(c for *_, c in batches) == len(shapes)
-        assert all(v == 1 for v in src2.loads.values()), src2.loads
 
     def test_prefetch_abandoned_consumer_releases_worker(self):
         """A consumer that abandons iteration mid-stream (train-step error,
@@ -294,6 +288,47 @@ class TestSamplers:
         with pytest.raises(ValueError):
             shard_tuples(tuples, 3, 2, 0)
 
+    def test_shard_tuples_four_processes(self):
+        """VERDICT r3 #6: 4-shard edge cases 2-process symmetry can hide.
+        tuple_size == n_proc (one tuple per process per step) and uneven
+        tails must reassemble to the exact global stream in rank order."""
+        tuples = [[i, 100 + i] for i in range(11)]
+        # tuple_size == n_proc: per-process slice is 1 tuple per batch
+        shards = [shard_tuples(tuples, 4, 4, s) for s in range(4)]
+        assert all(len(s) == 2 for s in shards)  # 11 -> 2 whole batches
+        rebuilt = []
+        for b in range(2):
+            for s in range(4):
+                rebuilt += shards[s][b : b + 1]
+        assert rebuilt == tuples[:8]
+        # tuple_size a multiple of n_proc: 2 rows per process per batch
+        shards = [shard_tuples(tuples, 8, 4, s) for s in range(4)]
+        assert all(len(s) == 2 for s in shards)
+        rebuilt = []
+        for s in range(4):
+            rebuilt += shards[s]
+        assert rebuilt == tuples[:8]
+        # every shard sees the same step count even on uneven tails
+        assert {len(shard_tuples(tuples[:7], 4, 4, s))
+                for s in range(4)} == {1}
+        with pytest.raises(ValueError):
+            shard_tuples(tuples, 6, 4, 0)  # not a multiple of n_proc
+
+    def test_slice_indices_four_shards(self):
+        """slice_indices at 4 shards: uneven tails cycle-pad (never short /
+        empty), n < n_shards still gives every shard exactly one row, and
+        the unpadded concatenation is the identity permutation."""
+        out = [slice_indices(10, 4, s) for s in range(4)]
+        assert all(len(o) == 3 for o in out)
+        assert np.concatenate(out)[:10].tolist() == list(range(10))
+        # n < n_shards: np.resize cycling keeps every shard populated
+        out = [slice_indices(3, 4, s) for s in range(4)]
+        assert all(len(o) == 1 for o in out)
+        assert np.concatenate(out).tolist() == [0, 1, 2, 0]
+        # exact division: clean contiguous slices
+        out = [slice_indices(8, 4, s) for s in range(4)]
+        assert np.concatenate(out).tolist() == list(range(8))
+
     def test_candidate_sampling_scales_to_250k(self):
         """VERDICT r2 #7: candidate sampling at Pitts250k mining scale (84k
         gallery, 1000-anchor subset, neg_pool 1000) must be sub-second host
@@ -322,6 +357,32 @@ class TestSamplers:
         # under the old O(G)-per-anchor cost this pins
         assert dt < 5.0, f"candidate sampling took {dt:.2f}s at 250k scale"
 
+    def test_full_refresh_scales_to_250k_device_resident(self):
+        """VERDICT r3 #2: a full mining refresh against a device-resident
+        250k-row gallery (narrow D so it fits the CPU test host) completes in
+        bounded time — pins that refresh cost is candidate sampling + the
+        fixed-shape device top-k, with no O(G x D) host round trip."""
+        import time
+
+        import jax.numpy as jnp
+
+        n_q, n_g, d = 500, 250_000, 32
+        rng = np.random.RandomState(1)
+        neg_list = [np.unique(rng.randint(0, n_g, 40)).tolist()
+                    for _ in range(n_q)]
+        pos_list = [n[:5] for n in neg_list]
+        s = TupleSampler(n_q, n_g, pos_list, neg_list,
+                         neg_num=10, neg_pool=1000, seed=0)
+        q = jnp.asarray(rng.randn(n_q, d).astype(np.float32))
+        g = jnp.asarray(rng.randn(n_g, d).astype(np.float32))
+        sub = np.arange(n_q)
+        s.refresh(q, g, sub)  # compile once outside the timed window
+        t0 = time.perf_counter()
+        tuples = s.refresh(q, g, sub)
+        dt = time.perf_counter() - t0
+        assert len(tuples) == n_q
+        assert dt < 20.0, f"refresh took {dt:.2f}s at 250k scale"
+
 
 class TestDeviceNormalize:
     def test_uint8_path_matches_f32(self):
@@ -345,25 +406,29 @@ class TestDeviceNormalize:
         )
 
 
-class TestGroupedBatchLoader:
-    def test_groups_by_shape(self, tmp_path):
-        from openibl_tpu.data.loader import GroupedBatchLoader
+class TestPaddedBatchLoaderShapes:
+    def test_buckets_variable_shapes(self, tmp_path):
+        """PaddedBatchLoader (the one variable-shape strategy — the
+        compile-per-shape GroupedBatchLoader was pruned in round 4) pads
+        each orientation bucket to its max and reports exact valid_hw."""
+        from openibl_tpu.data.loader import PaddedBatchLoader
 
         rng = np.random.RandomState(0)
         items = []
-        for i, (h, w) in enumerate([(20, 30), (24, 16), (20, 30), (24, 16),
-                                    (20, 30)]):
+        shapes = [(20, 30), (24, 16), (20, 30), (24, 16), (20, 30)]
+        for i, (h, w) in enumerate(shapes):
             f = tmp_path / f"im{i}.png"
             Image.fromarray(rng.randint(0, 255, (h, w, 3), np.uint8)).save(f)
             items.append((str(f), i, 0.0, 0.0))
         src = ImageSource(items, transform=None)
-        loader = GroupedBatchLoader(src, batch_size=2)
-        seen = {}
+        loader = PaddedBatchLoader(src, batch_size=2)
         total = 0
-        for imgs, idx, count in loader:
-            assert len({imgs[i].shape for i in range(count)}) == 1
-            seen.setdefault(imgs.shape[1:3], 0)
-            seen[imgs.shape[1:3]] += count
+        for imgs, valid_hw, idx, count in loader:
+            for j in range(count):
+                h, w = valid_hw[j]
+                assert (h, w) == shapes[int(idx[j])]
+                # zero padding outside the valid region
+                assert not imgs[j, h:, :, :].any()
+                assert not imgs[j, :, w:, :].any()
             total += count
         assert total == 5
-        assert seen == {(20, 30): 3, (24, 16): 2}

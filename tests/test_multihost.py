@@ -176,15 +176,15 @@ def test_multihost_training_matches_single_process(tmp_path):
 SFRS_CFG_SNIPPET = textwrap.dedent("""
     from openibl_tpu.config import SFRSConfig, DataConfig
 
-    def make_sfrs_cfg(data_dir, logs_dir):
+    def make_sfrs_cfg(data_dir, logs_dir, tuple_size=2):
         # 64x64: the EmbedRegionNet 2x2 quarter split needs an even conv5 map
         return SFRSConfig(
             data=DataConfig(dataset="synthetic", scale=None,
                             data_dir=data_dir, height=64, width=64,
                             test_batch_size=8),
-            num_clusters=8, loss_type="sare_ind", tuple_size=2, neg_num=2,
-            neg_pool=5, cache_size=16, iters=2, epochs=1, eval_step=1,
-            pca_dim=16, logs_dir=logs_dir, init_dir=logs_dir,
+            num_clusters=8, loss_type="sare_ind", tuple_size=tuple_size,
+            neg_num=2, neg_pool=5, cache_size=16, iters=2, epochs=1,
+            eval_step=1, pca_dim=16, logs_dir=logs_dir, init_dir=logs_dir,
             print_freq=100, seed=0, device_jitter=True,
             generations=2, temperature=(0.07, 0.06), pos_num=2, pos_pool=3,
         )
@@ -195,10 +195,11 @@ SFRS_WORKER = textwrap.dedent("""
     os.environ.pop("XLA_FLAGS", None)
     import jax
     jax.config.update("jax_platforms", "cpu")
-    port, pid, data_dir, logs_dir, out = sys.argv[1:6]
+    port, pid, nproc, data_dir, logs_dir, out = sys.argv[1:7]
     jax.distributed.initialize(coordinator_address=f"localhost:{port}",
-                               num_processes=2, process_id=int(pid))
-    assert jax.process_count() == 2
+                               num_processes=int(nproc),
+                               process_id=int(pid))
+    assert jax.process_count() == int(nproc)
     sys.path.insert(0, %r)
     import numpy as np
     import jax.tree_util as jtu
@@ -207,8 +208,8 @@ SFRS_WORKER = textwrap.dedent("""
     from openibl_tpu.parallel.mesh import get_mesh
 
     mesh = get_mesh()
-    assert mesh.size == 2, mesh
-    cfg = make_sfrs_cfg(data_dir, logs_dir)
+    assert mesh.size == int(nproc), mesh
+    cfg = make_sfrs_cfg(data_dir, logs_dir, tuple_size=int(nproc))
     params, recalls = run_sfrs_training(cfg, mesh=mesh, verbose=False)
     leaves = jtu.tree_flatten_with_path(params)[0]
     np.savez(out, __recalls__=np.asarray(recalls),
@@ -217,13 +218,11 @@ SFRS_WORKER = textwrap.dedent("""
 """)
 
 
-@pytest.mark.slow
-def test_multihost_sfrs_matches_single_process(tmp_path):
-    """SFRS across TWO processes — per-generation teacher snapshots, the
-    gen>0 Jaccard mining over the union (identical on every process via
-    sharded extraction + allgather), per-process diff-tuple slices, and
-    global easy/diff batch assembly — must reproduce the single-process
-    2-device-mesh model."""
+def _sfrs_parity(tmp_path, nproc):
+    """SFRS across ``nproc`` processes must reproduce the single-process
+    nproc-device-mesh model. tuple_size == nproc deliberately (the
+    per-process tuple slice degenerates to ONE tuple per step — the
+    rank-indexing edge 2-process symmetry can hide)."""
     import jax.tree_util as jtu
 
     sys.path.insert(0, REPO)
@@ -237,9 +236,10 @@ def test_multihost_sfrs_matches_single_process(tmp_path):
     from openibl_tpu.engine.pipeline import run_sfrs_training
     from openibl_tpu.parallel.mesh import get_mesh
 
-    cfg = ns["make_sfrs_cfg"](str(data_dir), str(tmp_path / "logs_single"))
+    cfg = ns["make_sfrs_cfg"](str(data_dir), str(tmp_path / "logs_single"),
+                              tuple_size=nproc)
     params_s, recalls_s = run_sfrs_training(
-        cfg, mesh=get_mesh(n_devices=2), verbose=False
+        cfg, mesh=get_mesh(n_devices=nproc), verbose=False
     )
     single = {
         jtu.keystr(k): np.asarray(v)
@@ -249,15 +249,16 @@ def test_multihost_sfrs_matches_single_process(tmp_path):
     port = str(_free_port())
     env = {k: v for k, v in os.environ.items()
            if not k.startswith(("SLURM_", "JAX_COORDINATOR"))}
-    outs = [str(tmp_path / f"sfrs_out{i}.npz") for i in range(2)]
+    outs = [str(tmp_path / f"sfrs_out{i}.npz") for i in range(nproc)]
     procs = [
         subprocess.Popen(
             [sys.executable, "-c", SFRS_WORKER % REPO, port, str(i),
-             str(data_dir), str(tmp_path / "logs_multi"), outs[i]],
+             str(nproc), str(data_dir), str(tmp_path / "logs_multi"),
+             outs[i]],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True, env=env, cwd=REPO,
         )
-        for i in range(2)
+        for i in range(nproc)
     ]
     logs = [p.communicate(timeout=2400)[0] for p in procs]
     for i, (p, log) in enumerate(zip(procs, logs)):
@@ -265,16 +266,38 @@ def test_multihost_sfrs_matches_single_process(tmp_path):
         assert "sfrs worker done" in log
 
     multi = [dict(np.load(o)) for o in outs]
-    for key in multi[0]:
-        np.testing.assert_array_equal(multi[0][key], multi[1][key])
+    # every process must agree exactly (replicated params, same stream)
+    for other in multi[1:]:
+        for key in multi[0]:
+            np.testing.assert_array_equal(multi[0][key], other[key])
     assert set(single) == set(multi[0]) - {"__recalls__"}
     for key, want in single.items():
         np.testing.assert_allclose(
             multi[0][key], want, rtol=2e-4, atol=2e-5,
-            err_msg=f"param {key} diverged between 1- and 2-process runs",
+            err_msg=f"param {key} diverged between 1- and "
+                    f"{nproc}-process runs",
         )
     np.testing.assert_allclose(multi[0]["__recalls__"],
                                np.asarray(recalls_s), atol=1e-6)
+
+
+@pytest.mark.slow
+def test_multihost_sfrs_matches_single_process(tmp_path):
+    """SFRS across TWO processes — per-generation teacher snapshots, the
+    gen>0 Jaccard mining over the union (identical on every process via
+    sharded extraction + allgather), per-process diff-tuple slices, and
+    global easy/diff batch assembly — must reproduce the single-process
+    2-device-mesh model."""
+    _sfrs_parity(tmp_path, 2)
+
+
+@pytest.mark.slow
+def test_multihost_sfrs_four_processes(tmp_path):
+    """VERDICT r3 #6: the same parity at FOUR processes. 2-process runs are
+    symmetric under rank swap and can hide rank-indexing bugs in
+    shard_tuples / slice_indices / global-batch assembly; 4 ranks with
+    tuple_size=4 (one tuple per process per step) cannot."""
+    _sfrs_parity(tmp_path, 4)
 
 
 EVAL_CFG_SNIPPET = textwrap.dedent("""

@@ -120,9 +120,9 @@ class TestPoolLossRaw:
         assert abs(got - expect) < 1e-6
 
 
-class TestGroupedLoaderHeaderProbe:
+class TestPaddedLoaderHeaderProbe:
     def test_no_upfront_decode_with_predictable_transform(self, tmp_path, rng):
-        from openibl_tpu.data.loader import ImageSource, GroupedBatchLoader
+        from openibl_tpu.data.loader import ImageSource, PaddedBatchLoader
         from openibl_tpu.data.transforms import TestTransform
 
         items = []
@@ -131,9 +131,9 @@ class TestGroupedLoaderHeaderProbe:
             Image.fromarray(rng.randint(0, 255, (h, w, 3), np.uint8)).save(f)
             items.append((str(f), i, 0.0, 0.0))
         src = ImageSource(items, transform=TestTransform(32, 48, tokyo=True))
-        loader = GroupedBatchLoader(src, batch_size=2)
-        loader._ensure_groups()
+        loader = PaddedBatchLoader(src, batch_size=2)
+        loader._ensure_buckets()
         assert loader._cache == {}, "header probe should avoid decoding"
-        assert len(loader._groups) == 2  # two aspect groups
-        total = sum(count for _, _, count in loader)
+        assert len(loader._buckets) == 2  # two aspect buckets
+        total = sum(count for *_, count in loader)
         assert total == 3

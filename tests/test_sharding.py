@@ -122,6 +122,78 @@ def test_extract_features_sharded_single_process(rng):
                                atol=1e-5)
 
 
+def test_device_output_extraction(rng):
+    """device_output=True must return an HBM-resident jax.Array identical to
+    the numpy path (VERDICT r3 #2) — including the unsorted-subset reorder —
+    and re-wrapping it with jnp.asarray must be a no-op (the mechanism that
+    makes sampler.refresh consume it with zero H2D)."""
+    from openibl_tpu.parallel.extract import extract_features_sharded
+
+    class ArraySource:
+        def __init__(self, arr):
+            self.arr = arr
+
+        def __len__(self):
+            return len(self.arr)
+
+        def load(self, i):
+            return self.arr[i]
+
+    model = models.create("embednet", net_vlad=NetVLAD(num_clusters=4, dim=512))
+    params = model.init(jax.random.PRNGKey(0))
+    images = rng.randn(11, 32, 32, 3).astype(np.float32) * 20
+    src = ArraySource(images)
+
+    host = extract_features_sharded(model.apply, params, src, batch_size=4)
+    dev = extract_features_sharded(model.apply, params, src, batch_size=4,
+                                   device_output=True)
+    assert isinstance(dev, jax.Array)
+    assert jnp.asarray(dev) is dev  # no copy on the mining-side rewrap
+    np.testing.assert_allclose(np.asarray(dev), host, rtol=1e-5, atol=1e-6)
+
+    # permuted subset: the ascending-order contract must hold on device too
+    sub = np.array([9, 2, 5, 0, 7])
+    host_sub = extract_features_sharded(model.apply, params, src,
+                                        indices=sub, batch_size=2)
+    dev_sub = extract_features_sharded(model.apply, params, src, indices=sub,
+                                       batch_size=2, device_output=True)
+    np.testing.assert_allclose(np.asarray(dev_sub), host_sub,
+                               rtol=1e-5, atol=1e-6)
+
+    # under a mesh as well (the single-process sharded mining pass)
+    mesh = get_mesh()
+    dev_mesh = extract_features_sharded(model.apply, params, src,
+                                        batch_size=4, mesh=mesh,
+                                        device_output=True)
+    assert isinstance(dev_mesh, jax.Array)
+    np.testing.assert_allclose(np.asarray(dev_mesh), host, rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_device_output_feeds_mining(rng):
+    """sampler.refresh on device-resident descriptors must mine the exact
+    tuples the numpy path mines (the end-to-end contract behind the
+    HBM-resident mining redesign)."""
+    from openibl_tpu.data.sampler import TupleSampler
+
+    n_q, n_g, d = 12, 40, 16
+    q = rng.randn(n_q, d).astype(np.float32)
+    g = rng.randn(n_g, d).astype(np.float32)
+    pos_list = [[(3 * i) % n_g, (3 * i + 1) % n_g] for i in range(n_q)]
+    neg_list = [sorted(set(p) | {(7 * i) % n_g}) for i, p in
+                enumerate(pos_list)]
+    sub = np.arange(n_q)
+
+    s_host = TupleSampler(n_q, n_g, pos_list, neg_list, neg_num=3,
+                          neg_pool=20, seed=0)
+    t_host = s_host.refresh(q, g, sub)
+    s_dev = TupleSampler(n_q, n_g, pos_list, neg_list, neg_num=3,
+                         neg_pool=20, seed=0)
+    t_dev = s_dev.refresh(jnp.asarray(q), jnp.asarray(g), sub)
+    assert t_host == t_dev
+    np.testing.assert_array_equal(s_host.neg_cache, s_dev.neg_cache)
+
+
 def test_pool_feature_extraction(rng):
     """feature='pool' returns the normalized global max-pool vector
     (the reference's --vlad off path)."""
