@@ -22,7 +22,7 @@ vs k-reciprocal-Jaccard orderings of the top pos_pool positives
 import numpy as np
 import jax.numpy as jnp
 
-from openibl_tpu.ops.distance import mine_hard_tuples, rank_positives
+from openibl_tpu.ops.distance import mine_hard_tuples, mine_hard_tuples_ranked
 from openibl_tpu.utils import pad_index_lists
 
 
@@ -173,17 +173,14 @@ class DiffTupleSampler(TupleSampler):
         """
         sub_ids = np.asarray(sub_ids)
         cand = self._sample_candidates(sub_ids)
-        pos_choice, neg_choice = mine_hard_tuples(
+        # one fused device call: mining and positive ranking share the
+        # (S, G) HIGHEST-precision distmat — the dominant FLOPs of a refresh
+        pos_choice, neg_choice, ranked_pos, _ = mine_hard_tuples_ranked(
             jnp.asarray(q_sub_feats),
             jnp.asarray(g_feats),
             jnp.asarray(self.pos_padded[sub_ids]),
             jnp.asarray(cand),
             neg_num=self.neg_num,
-        )
-        ranked_pos, _ = rank_positives(
-            jnp.asarray(q_sub_feats),
-            jnp.asarray(g_feats),
-            jnp.asarray(self.pos_padded[sub_ids]),
             pos_pool=self.pos_pool,
         )
         pos_choice = np.asarray(pos_choice)

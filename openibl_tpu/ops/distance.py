@@ -175,6 +175,36 @@ def topk_nearest(query, gallery, k, chunk=4096, full_path=None,
     return best_d, best_i
 
 
+def _pos_distances(d2, pos_idx):
+    """(S, P) distances to each anchor's UTM positives, inf where padded."""
+    pos_valid = pos_idx >= 0
+    pos_d = jnp.take_along_axis(d2, jnp.maximum(pos_idx, 0), axis=1)
+    return jnp.where(pos_valid, pos_d, jnp.inf)
+
+
+def _mine_from_d2(d2, pos_idx, cand_idx, neg_num):
+    pos_d = _pos_distances(d2, pos_idx)
+    pos_choice = jnp.take_along_axis(
+        pos_idx, jnp.argmin(pos_d, axis=1)[:, None], axis=1
+    )[:, 0]
+
+    cand_valid = cand_idx >= 0
+    cand_d = jnp.take_along_axis(d2, jnp.maximum(cand_idx, 0), axis=1)
+    cand_d = jnp.where(cand_valid, cand_d, jnp.inf)
+    _, top_pos = jax.lax.top_k(-cand_d, neg_num)
+    neg_choice = jnp.take_along_axis(cand_idx, top_pos, axis=1)
+    return pos_choice, neg_choice
+
+
+def _rank_from_d2(d2, pos_idx, pos_pool):
+    pos_d = _pos_distances(d2, pos_idx)
+    order = jnp.argsort(pos_d, axis=1)[:, :pos_pool]
+    ranked = jnp.take_along_axis(pos_idx, order, axis=1)
+    ranked_d = jnp.take_along_axis(pos_d, order, axis=1)
+    ranked = jnp.where(jnp.isfinite(ranked_d), ranked, -1)
+    return ranked, ranked_d
+
+
 @functools.partial(jax.jit, static_argnames=("neg_num",))
 def mine_hard_tuples(q_feats, g_feats, pos_idx, cand_idx, neg_num=10):
     """Fixed-shape hard-tuple mining on device.
@@ -194,20 +224,7 @@ def mine_hard_tuples(q_feats, g_feats, pos_idx, cand_idx, neg_num=10):
       pos_choice (S,), neg_choice (S, neg_num) int32 gallery indices.
     """
     d2 = pairwise_sqdist(q_feats, g_feats)  # (S, G)
-
-    pos_valid = pos_idx >= 0
-    pos_d = jnp.take_along_axis(d2, jnp.maximum(pos_idx, 0), axis=1)
-    pos_d = jnp.where(pos_valid, pos_d, jnp.inf)
-    pos_choice = jnp.take_along_axis(
-        pos_idx, jnp.argmin(pos_d, axis=1)[:, None], axis=1
-    )[:, 0]
-
-    cand_valid = cand_idx >= 0
-    cand_d = jnp.take_along_axis(d2, jnp.maximum(cand_idx, 0), axis=1)
-    cand_d = jnp.where(cand_valid, cand_d, jnp.inf)
-    _, top_pos = jax.lax.top_k(-cand_d, neg_num)
-    neg_choice = jnp.take_along_axis(cand_idx, top_pos, axis=1)
-    return pos_choice, neg_choice
+    return _mine_from_d2(d2, pos_idx, cand_idx, neg_num)
 
 
 @functools.partial(jax.jit, static_argnames=("pos_pool",))
@@ -218,14 +235,22 @@ def rank_positives(q_feats, g_feats, pos_idx, pos_pool=20):
     the full per-anchor positive distances — feeds the SFRS diff-positive
     selection (sampler.py:158-178)."""
     d2 = pairwise_sqdist(q_feats, g_feats)
-    pos_valid = pos_idx >= 0
-    pos_d = jnp.take_along_axis(d2, jnp.maximum(pos_idx, 0), axis=1)
-    pos_d = jnp.where(pos_valid, pos_d, jnp.inf)
-    order = jnp.argsort(pos_d, axis=1)[:, :pos_pool]
-    ranked = jnp.take_along_axis(pos_idx, order, axis=1)
-    ranked_d = jnp.take_along_axis(pos_d, order, axis=1)
-    ranked = jnp.where(jnp.isfinite(ranked_d), ranked, -1)
-    return ranked, ranked_d
+    return _rank_from_d2(d2, pos_idx, pos_pool)
+
+
+@functools.partial(jax.jit, static_argnames=("neg_num", "pos_pool"))
+def mine_hard_tuples_ranked(q_feats, g_feats, pos_idx, cand_idx, neg_num=10,
+                            pos_pool=20):
+    """mine_hard_tuples + rank_positives from ONE shared (S, G) distmat.
+
+    The SFRS refresh needs both; as separate jits each recomputes the
+    Precision.HIGHEST q @ g.T distmat — the dominant FLOPs of a refresh
+    (~16 TFLOP at Pitts250k mining scale with 32k-d descriptors). Fused,
+    the matmul runs once and XLA shares the intermediate."""
+    d2 = pairwise_sqdist(q_feats, g_feats)
+    pos_choice, neg_choice = _mine_from_d2(d2, pos_idx, cand_idx, neg_num)
+    ranked, ranked_d = _rank_from_d2(d2, pos_idx, pos_pool)
+    return pos_choice, neg_choice, ranked, ranked_d
 
 
 # jitted shard_map programs keyed on (mesh, axis, k, chunk, per, has_scale):

@@ -152,6 +152,35 @@ class TestDistance:
             expect = pos[i, :6][np.argsort(d2[i, pos[i, :6]])][:4]
             np.testing.assert_array_equal(ranked[i], expect)
 
+    def test_mine_hard_tuples_ranked_matches_separate_ops(self, rng):
+        """The fused SFRS-refresh op (one shared distmat) must return exactly
+        what the two separate ops return."""
+        s, g_n, d_dim = 4, 40, 8
+        qf = rng.randn(s, d_dim).astype(np.float32)
+        gf = rng.randn(g_n, d_dim).astype(np.float32)
+        pos = np.full((s, 6), -1, np.int32)
+        pos[:, :4] = np.stack(
+            [np.random.RandomState(i).choice(g_n, 4, replace=False)
+             for i in range(s)]
+        )
+        cand = np.full((s, 25), -1, np.int32)
+        for i in range(s):
+            cand[i, :15] = np.random.RandomState(50 + i).choice(
+                g_n, 15, replace=False)
+        args = (jnp.asarray(qf), jnp.asarray(gf), jnp.asarray(pos))
+        pc, nc, ranked, ranked_d = distance.mine_hard_tuples_ranked(
+            *args, jnp.asarray(cand), neg_num=3, pos_pool=4
+        )
+        pc2, nc2 = distance.mine_hard_tuples(
+            *args[:2], args[2], jnp.asarray(cand), neg_num=3
+        )
+        ranked2, ranked_d2 = distance.rank_positives(*args, pos_pool=4)
+        np.testing.assert_array_equal(np.asarray(pc), np.asarray(pc2))
+        np.testing.assert_array_equal(np.asarray(nc), np.asarray(nc2))
+        np.testing.assert_array_equal(np.asarray(ranked), np.asarray(ranked2))
+        np.testing.assert_array_equal(np.asarray(ranked_d),
+                                      np.asarray(ranked_d2))
+
 
 class TestReducedPrecisionGallery:
     def test_fp16_gallery_both_paths(self):
