@@ -843,3 +843,226 @@ class TestTrainStepOracle:
         )
         # final descriptors on held-out images stay matched
         descriptors(_images(rng, 4, h, w))
+
+
+# ---------------------------------------------------------------------------
+# C8 + optimizer: two-generation SFRS trajectory (the flagship method)
+# ---------------------------------------------------------------------------
+
+class TestSFRSTrajectoryOracle:
+    """Multi-step SFRS parity across a GENERATION boundary: the 30-step
+    baseline trajectory above pins the triplet/SARE loop; this pins the full
+    SFRS recipe — teacher snapshot + student re-init + fresh optimizer at the
+    boundary (netvlad_img_sfrs.py:177-185), hard+soft distillation updates
+    (trainers.py:199-204), and gen>0 mining with difficult positives selected
+    by k-reciprocal Jaccard (netvlad_img_sfrs.py:200-201 via update_sampler
+    rerank=gen>0). Each stack mines positives/negatives FROM ITS OWN
+    descriptors, and descriptor agreement is re-asserted at every mining
+    point, so slow drift in the coupled student/teacher updates surfaces as
+    diverging tuples, descriptors, or loss curves.
+
+    The gen>0 Jaccard matrix is computed ONCE (from the reference stack's
+    descriptors) and shared: k-reciprocal set membership is a DISCONTINUOUS
+    function of the distances — at this 24-image scale a sub-1e-3 descriptor
+    wobble flips a neighbor-set member and jumps a Jaccard value by O(1/k),
+    so per-stack Jaccard would compare two chaotic maps, not drift (the
+    reference vs itself re-run with a different cudnn autotune pick would
+    fail the same comparison). The Jaccard-promotion math itself is pinned
+    exactly against the reference sampler in TestSamplerOracle."""
+
+    T, NEG, POS, K = 1, 2, 3, 4
+    POS_POOL = 3
+    LR, MOM, WD = 1e-3, 0.9, 1e-3
+    MARGIN = float(np.sqrt(0.1))
+    TEMPS = (0.07, 0.07)
+    SOFT = 0.5
+    STEPS = 8  # per generation
+
+    def _freeze(self, model):
+        for i, m in enumerate(model.base_model.base):
+            if i < 24:
+                for p in m.parameters():
+                    p.requires_grad = False
+
+    def _sgd(self, model):
+        return torch.optim.SGD(
+            [p for p in model.parameters() if p.requires_grad],
+            lr=self.LR, momentum=self.MOM, weight_decay=self.WD,
+        )
+
+    @staticmethod
+    def _tie_aware(picks_ref, picks_ours, score, tol, what):
+        """Any pick differing between the stacks must be a genuine near-tie:
+        aligned by score rank, each pair's scores agree within ``tol``."""
+        for r, o in zip(sorted(picks_ref, key=score), sorted(picks_ours, key=score)):
+            assert abs(score(r) - score(o)) < tol, (
+                f"{what} diverged beyond tie range: {picks_ref} vs "
+                f"{picks_ours} (|{score(r):.5f} - {score(o):.5f}| >= {tol})"
+            )
+
+    def test_two_generation_trajectory_matches(self, ref_netvlad_mod,
+                                               ref_trainers_mod, rng):
+        from openibl_tpu.data.sampler import DiffTupleSampler
+        from openibl_tpu.engine.sfrs import SFRSTrainer as OurSFRS
+        from openibl_tpu.ops.rerank import build_v_sparse, jaccard_for_queries
+
+        student = ref_netvlad_mod.EmbedRegionNet(
+            TorchVGGBase(seed=21), _rand_netvlad(ref_netvlad_mod, self.K, 22),
+            tuple_size=self.T,
+        ).train()
+        teacher = ref_netvlad_mod.EmbedRegionNet(
+            TorchVGGBase(seed=23), _rand_netvlad(ref_netvlad_mod, self.K, 24),
+            tuple_size=self.T,
+        ).train()
+        self._freeze(student)
+        ref_tr = ref_trainers_mod.SFRSTrainer(
+            student, teacher, margin=self.MARGIN, neg_num=self.NEG,
+            temp=list(self.TEMPS),
+        )
+        opt = self._sgd(student)
+
+        our_model = models.create(
+            "embedregionnet", net_vlad=models.NetVLAD(num_clusters=self.K),
+            tuple_size=self.T,
+        )
+        our_tr = OurSFRS(
+            our_model, loss_type="sare_ind", neg_num=self.NEG,
+            temps=self.TEMPS, soft_weight=self.SOFT,
+            lr=self.LR, momentum=self.MOM, weight_decay=self.WD,
+        )
+        params = convert.embednet_params_from_torch(student.state_dict())
+        t_params = convert.embednet_params_from_torch(teacher.state_dict())
+        opt_state = our_tr.init_generation(params)
+        fwd_ours = jax.jit(our_model.apply)
+
+        # graded synthetic world (see the 30-step test above): gallery images
+        # are query/noise mixes at distinct ratios so mined orderings have
+        # real distance gaps instead of i.i.d. near-ties
+        h, w = 32, 32
+        n_q, n_g = 6, 18
+        world_q = _images(rng, n_q, h, w)
+        noise = _images(rng, n_g, h, w)
+        mix = np.linspace(0.1, 0.9, n_g, dtype=np.float32)[:, None, None, None]
+        world_g = mix * world_q[np.arange(n_g) % n_q] + (1 - mix) * noise
+        world = np.concatenate([world_q, world_g])
+        # anchor i's positives are the galleries built FROM query i
+        # (ids i, i+6, i+12 at mixes ~0.15/0.4/0.75): their distances to the
+        # anchor follow the mix gradient, so the euclid ranking that drives
+        # the Jaccard-promotion gap logic has real margins — rank flips then
+        # mean drift, not noise (the gap logic is rank-discontinuous)
+        pos_list = [sorted({i, i + 6, i + 12}) for i in range(n_q)]
+        neg_list = [sorted(set(p)) for p in pos_list]
+
+        def descriptors(x_nchw):
+            student.eval()
+            with torch.no_grad():
+                _, v_ref = student(torch.from_numpy(x_nchw))
+            student.train()
+            v_ref = v_ref.numpy()
+            v_ours = np.asarray(
+                jax.device_get(fwd_ours(params, _nhwc(x_nchw))[1])
+            )
+            np.testing.assert_allclose(
+                v_ours, v_ref, rtol=5e-3, atol=2e-4,
+                err_msg="descriptor drift between the stacks",
+            )
+            return v_ref, v_ours
+
+        def jaccard_rows(q_desc, g_desc):
+            """gen>0 difficult-positive metric, exactly as the SFRS pipeline
+            builds it (engine/pipeline.py mining_jaccard phase)."""
+            union = np.concatenate([q_desc, g_desc])
+            rows, cols, vals, _, _ = build_v_sparse(union, k1=20)
+            jac = jaccard_for_queries(rows, cols, vals, len(union),
+                                      np.arange(n_q))
+            return jac[:, n_q:]
+
+        def mine(step, gen):
+            qr, qo = descriptors(world_q)
+            gr, go = descriptors(world_g)
+            jac_r = jac_o = None
+            if gen > 0:
+                jac_r = jac_o = jaccard_rows(qr, gr)  # shared, see docstring
+            mk = lambda: DiffTupleSampler(
+                n_q, n_g, pos_list, neg_list, pos_num=self.POS,
+                pos_pool=self.POS_POOL, neg_num=self.NEG, neg_pool=8,
+                seed=step,
+            )
+            t_ref = mk().refresh(qr, gr, np.arange(n_q), jaccard_rows=jac_r)
+            t_ours = mk().refresh(qo, go, np.arange(n_q), jaccard_rows=jac_o)
+            for a_ref, a_ours in zip(sorted(t_ref), sorted(t_ours)):
+                assert a_ref[:2] == a_ours[:2], (step, a_ref, a_ours)
+                anchor = a_ref[0]
+                d_gal = np.sum(np.square(qr[anchor][None] - gr), axis=1)
+                self._tie_aware(
+                    a_ref[2 : 2 + self.NEG], a_ours[2 : 2 + self.NEG],
+                    lambda g: d_gal[g - n_q], 5e-3,
+                    f"step {step} negatives",
+                )
+                diff_score = (
+                    (lambda g: float(jac_r[anchor][g - n_q])) if gen > 0
+                    else (lambda g: d_gal[g - n_q])
+                )
+                self._tie_aware(
+                    a_ref[2 + self.NEG :], a_ours[2 + self.NEG :],
+                    diff_score, 5e-3 if gen == 0 else 5e-2,
+                    f"step {step} difficult positives",
+                )
+            return t_ours
+
+        hard_ref, hard_ours, soft_ref, soft_ours = [], [], [], []
+        for gen in (0, 1):
+            if gen == 1:
+                # generation boundary (netvlad_img_sfrs.py:177-185): teacher
+                # snapshots the student, the student re-initializes, and the
+                # optimizer is rebuilt fresh — on BOTH stacks
+                teacher.load_state_dict(student.state_dict())
+                t_params = params  # the live tree; never donated again
+                fresh = ref_netvlad_mod.EmbedRegionNet(
+                    TorchVGGBase(seed=31),
+                    _rand_netvlad(ref_netvlad_mod, self.K, 32),
+                    tuple_size=self.T,
+                )
+                student.load_state_dict(fresh.state_dict())
+                opt = self._sgd(student)
+                params = convert.embednet_params_from_torch(
+                    student.state_dict()
+                )
+                opt_state = our_tr.init_generation(params)
+            lam = self.SOFT if gen > 0 else 0.0
+            step_fn = our_tr.step_fn(gen)
+            tuples = mine(10 * gen, gen)
+            for step in range(self.STEPS):
+                if step == self.STEPS // 2:
+                    tuples = mine(10 * gen + step, gen)
+                tup = np.asarray(tuples[step % len(tuples)])
+                easy = world[tup[: 2 + self.NEG]][None]  # (T, 2+neg, C, h, w)
+                diff = world[
+                    np.concatenate([tup[:1], tup[2 + self.NEG :]])
+                ][None]
+                opt.zero_grad()
+                lh_r, ls_r = ref_tr._forward(
+                    torch.from_numpy(easy), torch.from_numpy(diff),
+                    "sare_ind", gen,
+                )
+                (lh_r + ls_r * lam).backward()
+                opt.step()
+                to5 = lambda x: jnp.asarray(np.transpose(x, (0, 1, 3, 4, 2)))
+                params, opt_state, lh_o, ls_o = step_fn(
+                    params, t_params, opt_state, to5(easy), to5(diff)
+                )
+                hard_ref.append(float(lh_r.detach()))
+                soft_ref.append(float(ls_r.detach()))
+                hard_ours.append(float(lh_o))
+                soft_ours.append(float(ls_o))
+
+        np.testing.assert_allclose(
+            hard_ours, hard_ref, rtol=2e-3, atol=1e-4,
+            err_msg="hard-loss trajectories diverged",
+        )
+        np.testing.assert_allclose(
+            soft_ours, soft_ref, rtol=2e-3, atol=1e-4,
+            err_msg="soft-loss trajectories diverged",
+        )
+        # post-trajectory descriptors on held-out images stay matched
+        descriptors(_images(rng, 4, h, w))
