@@ -25,6 +25,10 @@ import numpy as np
 REFERENCE_GPU_IMG_PER_SEC = 50.0
 REFERENCE_GPU_TRAIN_TUPLES_PER_SEC = 0.7
 REFERENCE_GPU_QUERY_MS = 40.0
+# SFRS gen>=1 step: the reference runs THREE forwards (12-image easy tuple +
+# 11-image diff tuple twice: student and teacher, trainers.py:235-245) plus
+# backward over two of them ~ 1.4x its baseline step -> ~0.5 tuples/s
+REFERENCE_GPU_SFRS_TUPLES_PER_SEC = 0.5
 
 
 def main():
@@ -44,10 +48,12 @@ def main():
                         "row-band kernel (ops/conv1_kernel; pending the "
                         "mosaic_probe verdict)")
     p.add_argument("--metric", type=str, default="extract",
-                   choices=["extract", "query", "train"],
+                   choices=["extract", "query", "train", "sfrs"],
                    help="extract = images/sec/chip; query = end-to-end "
                         "single-query p50 latency vs a 100k-item gallery; "
-                        "train = SARE train-step tuples/sec (12 images each)")
+                        "train = SARE train-step tuples/sec (12 images each); "
+                        "sfrs = SFRS gen>=1 step tuples/sec (12-image easy + "
+                        "11-image diff tuple, hard + soft distillation loss)")
     p.add_argument("--gallery-size", type=int, default=100_000)
     p.add_argument("--ivf-nprobe", type=int, default=0,
                    help="query metric only: >0 searches via an IVF coarse "
@@ -242,6 +248,51 @@ def _bench_body(args):
             "value": round(rate, 3),
             "unit": "tuples/sec/chip",
             "vs_baseline": round(rate / REFERENCE_GPU_TRAIN_TUPLES_PER_SEC, 2),
+        }))
+        return
+
+    if args.metric == "sfrs":
+        # flagship SFRS step at the published shape: tuple_size per chip,
+        # easy (anchor + pos + 10 negs) + diff (anchor + 10 difficult
+        # positives), gen>=1 so the hardest-of-9-regions hard loss AND the
+        # teacher-forward soft loss are both on the clock
+        from openibl_tpu.engine.sfrs import SFRSTrainer
+
+        smodel = models.create(
+            "embedregionnet", base=models.VGG16(compute_dtype=dtype),
+            net_vlad=models.NetVLAD(num_clusters=64),
+        )
+        sparams = smodel.init(jax.random.PRNGKey(0))
+        t_params = smodel.init(jax.random.PRNGKey(1))
+        trainer = SFRSTrainer(smodel, loss_type="sare_ind", neg_num=10,
+                              lr=1e-3)
+        opt = trainer.init_generation(sparams)
+        step = trainer.step_fn(1)
+        t_size = args.batch_size or 1
+        mk = jax.jit(
+            lambda k, n: jax.random.normal(
+                k, (t_size, n, args.height, args.width, 3)
+            ) * 40,
+            static_argnums=1,
+        )
+        easy = mk(jax.random.PRNGKey(2), 12)
+        diff = mk(jax.random.PRNGKey(3), 11)
+        sparams, opt, lh, ls = step(sparams, t_params, opt, easy, diff)
+        float(lh)  # compile + fence
+        group = max(args.iters // 3, 1)
+        rates = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(group):
+                sparams, opt, lh, ls = step(sparams, t_params, opt, easy, diff)
+            float(lh)  # fence
+            rates.append(t_size * group / (time.perf_counter() - t0))
+        rate = float(np.median(rates))
+        print(json.dumps({
+            "metric": f"sfrs_train_tuples_per_sec_{args.height}x{args.width}_{args.dtype}_ts{t_size}",
+            "value": round(rate, 3),
+            "unit": "tuples/sec/chip",
+            "vs_baseline": round(rate / REFERENCE_GPU_SFRS_TUPLES_PER_SEC, 2),
         }))
         return
 

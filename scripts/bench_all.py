@@ -28,6 +28,7 @@ SUITE = [
     ("query_ivf32", ["--metric", "query", "--iters", "30",
                      "--ivf-nprobe", "32"]),
     ("train", ["--metric", "train"]),
+    ("train_sfrs", ["--metric", "sfrs"]),
 ]
 
 

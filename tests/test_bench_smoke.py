@@ -41,6 +41,8 @@ def _run_bench(argv, capsys):
     ["--metric", "query", "--gallery-size", "256", "--iters", "2",
      "--height", "64", "--width", "64", "--dtype", "float32",
      "--device-time"],
+    ["--metric", "sfrs", "--batch-size", "1", "--iters", "3",
+     "--height", "64", "--width", "64", "--dtype", "float32"],
     ["--batch-size", "2", "--iters", "2", "--height", "64", "--width", "64",
      "--dtype", "float32", "--fused-conv1"],
 ])
