@@ -258,9 +258,10 @@ def _bench_body(args):
         # teacher-forward soft loss are both on the clock
         from openibl_tpu.engine.sfrs import SFRSTrainer
 
+        t_size = args.batch_size or 1
         smodel = models.create(
             "embedregionnet", base=models.VGG16(compute_dtype=dtype),
-            net_vlad=models.NetVLAD(num_clusters=64),
+            net_vlad=models.NetVLAD(num_clusters=64), tuple_size=t_size,
         )
         sparams = smodel.init(jax.random.PRNGKey(0))
         t_params = smodel.init(jax.random.PRNGKey(1))
@@ -268,7 +269,6 @@ def _bench_body(args):
                               lr=1e-3)
         opt = trainer.init_generation(sparams)
         step = trainer.step_fn(1)
-        t_size = args.batch_size or 1
         mk = jax.jit(
             lambda k, n: jax.random.normal(
                 k, (t_size, n, args.height, args.width, 3)

@@ -299,6 +299,10 @@ def run_baseline_training(cfg, mesh=None, verbose=True, timer=None):
                 )
             with timer.phase("mining_refresh"):
                 tuples = sampler.refresh(q_feats, g_feats, subset)
+            # refresh materialized its outputs to numpy: release the
+            # HBM-resident (G, D) gallery before the train phase needs the
+            # memory (at Pitts250k/32k-d scale the buffer is ~11 GB)
+            del g_feats, q_feats
             tuples = _apply_iters_cap(tuples, getattr(cfg, "iters", 0),
                                       cfg.tuple_size)
             local_tuples, local_ts = _local_tuple_stream(tuples, cfg.tuple_size)
@@ -544,6 +548,9 @@ def run_sfrs_training(cfg, mesh=None, verbose=True, timer=None):
                 with timer.phase("mining_refresh"):
                     tuples = sampler.refresh(q_feats, g_feats, subset,
                                              jaccard_rows=jaccard_rows)
+                # release the mining descriptors (HBM-resident at gen 0)
+                # before the train phase needs the memory
+                del g_feats, q_feats, jaccard_rows
                 tuples = _apply_iters_cap(tuples, getattr(cfg, "iters", 0),
                                           cfg.tuple_size)
                 local_tuples, local_ts = _local_tuple_stream(

@@ -192,13 +192,18 @@ class SFRSTrainer(MeshBatchMixin):
             # arrays themselves are immutable, so leaf identity pins value
             # identity.
             cache = self._teacher_cache
-            leaf_ids = tuple(id(l) for l in jax.tree.leaves(teacher_params))
+            leaves = tuple(jax.tree.leaves(teacher_params))
+            # the cache HOLDS the leaf tuple (not just ids): pinning the
+            # objects makes the element-identity comparison sound — bare
+            # id()s of unreferenced leaves can collide via CPython address
+            # reuse after an in-place dict-level swap
             if (cache is not None and cache[0] is teacher_params
-                    and cache[1] == leaf_ids):
+                    and len(cache[1]) == len(leaves)
+                    and all(a is b for a, b in zip(cache[1], leaves))):
                 teacher_params = cache[2]
             else:
                 globalized = globalize_tree(self.mesh, teacher_params)
-                self._teacher_cache = (teacher_params, leaf_ids, globalized)
+                self._teacher_cache = (teacher_params, leaves, globalized)
                 teacher_params = globalized
             opt_state = globalize_tree(self.mesh, opt_state)
         step = self.step_fn(gen)

@@ -112,20 +112,29 @@ def fill_lists(ranked, nlist, maxlen, x=None, centroids=None):
     if overflow:  # all ranked cells full: spill to an open cell
         import warnings
 
-        open_cells = np.flatnonzero(fill < maxlen)
+        open_mask = fill < maxlen
         rank_geo = x is not None and centroids is not None
-        for i in overflow:
+        if rank_geo:
+            # one (O, nlist) distance block via a single matmul — the
+            # per-row recompute was O(overflow * nlist * D) host work,
+            # minutes of single-core numpy exactly when a large fraction
+            # of a big gallery overflows
+            xo = np.asarray(x[np.asarray(overflow)], np.float32)
+            cc = np.asarray(centroids, np.float32)
+            d_all = (
+                np.sum(np.square(xo), axis=1, keepdims=True)
+                - 2.0 * xo @ cc.T
+                + np.sum(np.square(cc), axis=1)[None]
+            )
+        for j, i in enumerate(overflow):
             if rank_geo:
-                d = np.sum(
-                    np.square(centroids[open_cells]
-                              - np.asarray(x[i], np.float32)), axis=1)
-                c = int(open_cells[np.argmin(d)])
+                c = int(np.argmin(np.where(open_mask, d_all[j], np.inf)))
             else:
-                c = int(open_cells[0])
+                c = int(np.argmax(open_mask))  # first open cell
             lists[c, fill[c]] = i
             fill[c] += 1
             if fill[c] == maxlen:
-                open_cells = open_cells[open_cells != c]
+                open_mask[c] = False
         warnings.warn(
             f"IVF: {len(overflow)} rows overflowed their {ranked.shape[1]} "
             f"nearest cells and spilled to the "

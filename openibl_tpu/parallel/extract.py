@@ -155,6 +155,14 @@ def extract_features(apply_fn, params, loader, mesh=None, pca=None,
             # while the host decodes the next batch
             buf = _write_rows(buf, out[:count], offset)
             offset += count
+            # periodic fence: with no np.asarray drain on this path, nothing
+            # would otherwise block until return — the host could enqueue the
+            # whole dataset's staged H2D pixel batches ahead of a slow device
+            # (np.asarray because block_until_ready is a no-op on the
+            # tunneled platform); one element of ``out`` gates on batch i's
+            # forward, bounding in-flight work at ~8 batches
+            if (i + 1) % 8 == 0:
+                np.asarray(out[0, 0])
         else:
             in_flight.append((out, count))
         orders.append(np.asarray(idx)[:count])

@@ -74,9 +74,17 @@ def recall_curve(desc, n_queries, nlist, k=10, seed=0):
     d_exact, _ = topk_nearest(jnp.asarray(q), jnp.asarray(g), k=k)
     thresh = np.asarray(d_exact)[:, -1] + 1e-5  # per-query k-th distance
     ivf = build_ivf(g, nlist=nlist)
+    # powers of two, always ending at the exhaustive nprobe == nlist anchor
+    # (a plain doubling loop skips it for non-power-of-two nlist, and the
+    # published table / test gate rely on that exact-search row)
+    nprobes = []
+    npb = 1
+    while npb < nlist:
+        nprobes.append(npb)
+        npb *= 2
+    nprobes.append(nlist)
     curve = {}
-    nprobe = 1
-    while nprobe <= nlist:
+    for nprobe in nprobes:
         d_iv, idx = ivf_search(jnp.asarray(q), jnp.asarray(g),
                                ivf["centroids"], ivf["lists"],
                                k=k, nprobe=nprobe)
@@ -85,7 +93,6 @@ def recall_curve(desc, n_queries, nlist, k=10, seed=0):
             np.sum((idx >= 0) & (d_iv <= thresh[:, None]), axis=1) / k
         )
         curve[nprobe] = float(hits)
-        nprobe *= 2
     return curve
 
 

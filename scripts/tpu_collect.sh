@@ -31,7 +31,7 @@ TASKS=(
   "bench_query|1200|python -u bench.py --metric query"
   "query_ivf32|1200|python -u bench.py --metric query --ivf-nprobe 32"
   "query_ivf32_device|1200|python -u bench.py --metric query --ivf-nprobe 32 --device-time"
-  "serving_latency|2400|python -u scripts/bench_serving.py --out logs/tpu_collect_r04/serving_latency.json"
+  "serving_latency|2400|python -u scripts/bench_serving.py --out $OUT/serving_latency.json"
   "selfcheck|1200|python -u scripts/tpu_selfcheck.py"
   "extract_sweep|1600|python -u bench.py --metric extract"
   "train_ts6|900|python -u bench.py --metric train --batch-size 6"
