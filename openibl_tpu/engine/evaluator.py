@@ -36,6 +36,10 @@ def recalls_from_ranks(sorted_idx, ground_truth, gallery_pids=None,
     k >= the rank bucket of its first true positive; NMS first dedups by
     panorama id over the top 12*max(topk)."""
     topk = list(topk)
+    if nms and gallery_pids is None:
+        # fail before the caller wastes a full-gallery kNN: spatial_nms
+        # dedups by panorama id and has nothing to dedup by without them
+        raise ValueError("nms=True requires gallery_pids")
     correct_at_n = np.zeros(len(topk))
     for q, pred in enumerate(sorted_idx):
         pred = list(pred)
@@ -69,6 +73,8 @@ def evaluate_descriptors(q_feats, g_feats, ground_truth, gallery_pids=None,
     In multi-process runs a global mesh is reduced to this process's
     sub-mesh: the descriptors are host-resident (already all-gathered), so
     every host runs the identical kNN redundantly on its own devices."""
+    if nms and gallery_pids is None:
+        raise ValueError("nms=True requires gallery_pids")  # before the kNN
     if mesh is not None:
         from openibl_tpu.parallel.mesh import process_local_mesh
 

@@ -14,15 +14,24 @@ from openibl_tpu import models
 from openibl_tpu.data.transforms import TestTransform
 
 
-def vgg16_netvlad(pretrained=None, num_clusters=64, pca_dim=4096):
+def vgg16_netvlad(pretrained=None, num_clusters=64, pca_dim=4096,
+                  pca_params=None):
     """Build the inference model.
 
     Args:
       pretrained: path to weights — a torch .pth/.pth.tar state dict (the
         released vgg16_netvlad.pth, converted on the fly) or one of our .npz
         checkpoints. None → random init.
+      pca_params: optional path to a PCA-whitening params file (.h5/.npz from
+        ops.pca.save_pca). Trainer checkpoints never contain the pca leaves
+        (PCA is trained separately, engine/pipeline.py finalize_with_pca),
+        so for those the projection must come from here; when omitted, the
+        reference convention ``pca_params_<checkpoint stem>.h5`` next to the
+        checkpoint (test.py:109) is tried automatically.
     Returns: (model, params).
     """
+    import os.path as osp
+
     model = models.create(
         "embednetpca",
         net_vlad=models.NetVLAD(num_clusters=num_clusters),
@@ -41,11 +50,30 @@ def vgg16_netvlad(pretrained=None, num_clusters=64, pca_dim=4096):
             is_pipeline_ckpt = any(
                 k.startswith("leaf:params/") for k in data.files
             )
+            ckpt_has_pca = any(
+                k.startswith("leaf:params/pca/") for k in data.files
+            )
         if is_pipeline_ckpt:
             # pipeline checkpoints store {'params':..., 'opt_state':...}
             loaded, _ = load_checkpoint(pretrained, {"params": template},
                                         strict=False, verbose=True)
             params = loaded["params"]
+            if pca_params is None and not ckpt_has_pca:
+                stem = osp.basename(str(pretrained)).split(".")[0] or "model"
+                cand = osp.join(osp.dirname(str(pretrained)) or ".",
+                                f"pca_params_{stem}.h5")
+                if osp.isfile(cand):
+                    pca_params = cand
+                else:
+                    # without this the pca leaves silently keep their RANDOM
+                    # init and every descriptor is whitened by noise
+                    raise ValueError(
+                        f"{pretrained} is a trainer checkpoint without PCA "
+                        f"leaves and no PCA params file was found (tried "
+                        f"{cand}); pass pca_params=<path to the .h5 written "
+                        f"by training/finalize> or use the 32768-d "
+                        f"'embednet' model instead"
+                    )
         else:
             params, _ = load_checkpoint(pretrained, template, verbose=True)
     else:
@@ -53,10 +81,18 @@ def vgg16_netvlad(pretrained=None, num_clusters=64, pca_dim=4096):
 
         from openibl_tpu.models import convert
 
-        state = torch.load(pretrained, map_location="cpu", weights_only=False)
+        # weights_only=True: the consumed payload is a plain tensor state
+        # dict — never opt into full pickle execution for downloaded files
+        state = torch.load(pretrained, map_location="cpu", weights_only=True)
         if isinstance(state, dict) and "state_dict" in state:
             state = state["state_dict"]
         params = convert.embednetpca_params_from_torch(state)
+    if pca_params is not None:
+        from openibl_tpu.ops.pca import load_pca, pca_projection
+
+        proj, bias = pca_projection(load_pca(pca_params),
+                                    n_components=pca_dim, whiten=True)
+        params["pca"] = {"w": jnp.asarray(proj), "b": jnp.asarray(bias)}
     return model, params
 
 
@@ -64,8 +100,10 @@ class DescriptorExtractor:
     """Convenience wrapper: PIL image(s) → 4096-d descriptors
     (the examples/extract.py flow, reference extract.py:6-23)."""
 
-    def __init__(self, pretrained=None, height=480, width=640):
-        self.model, self.params = vgg16_netvlad(pretrained)
+    def __init__(self, pretrained=None, height=480, width=640,
+                 pca_params=None):
+        self.model, self.params = vgg16_netvlad(pretrained,
+                                                pca_params=pca_params)
         self.transform = TestTransform(height, width)
         self._fwd = jax.jit(self.model.apply)
 

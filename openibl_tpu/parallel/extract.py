@@ -160,8 +160,10 @@ def extract_features(apply_fn, params, loader, mesh=None, pca=None,
             # whole dataset's staged H2D pixel batches ahead of a slow device
             # (np.asarray because block_until_ready is a no-op on the
             # tunneled platform); one element of ``out`` gates on batch i's
-            # forward, bounding in-flight work at ~8 batches
-            if (i + 1) % 8 == 0:
+            # forward, bounding in-flight work at ~16 batches (~2.4 GB of
+            # staged bs128 pixels; each fence costs one ~33 ms tunnel round
+            # trip, ~1% of 16 batches' compute)
+            if (i + 1) % 16 == 0:
                 np.asarray(out[0, 0])
         else:
             in_flight.append((out, count))

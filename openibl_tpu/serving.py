@@ -61,6 +61,14 @@ class RetrievalService:
             index = {k: data[k] for k in data.files}
         self.paths = [str(p) for p in index.get("paths", [])]
         gallery = np.ascontiguousarray(index["descriptors"])
+        if self.paths and len(self.paths) != gallery.shape[0]:
+            # catch a malformed/truncated index at load — otherwise the
+            # mismatch surfaces as per-request IndexError (HTTP 500s) only
+            # for queries whose matches land past the shorter array
+            raise ValueError(
+                f"index has {gallery.shape[0]} descriptors but "
+                f"{len(self.paths)} paths"
+            )
         scales = None
         if gallery.dtype == np.int8:
             if "scales" not in index:
@@ -85,17 +93,20 @@ class RetrievalService:
         self.mesh = mesh
 
         self.ivf_nprobe = int(ivf_nprobe)
-        if self.ivf_nprobe and "ivf_centroids" not in index:
-            raise ValueError(
-                "ivf_nprobe set but the index has no IVF tables — rebuild "
-                "with index_and_query.py build --ivf-nlist"
-            )
+        # mesh downgrade FIRST: under a mesh ivf_nprobe is documented as
+        # ignored-with-a-warning, so a mesh index without IVF tables must
+        # warn-and-serve, not raise
         if self.ivf_nprobe and mesh is not None:
             import warnings
 
             warnings.warn("IVF serving is single-device; using the exact "
                           "sharded search instead", stacklevel=2)
             self.ivf_nprobe = 0
+        if self.ivf_nprobe and "ivf_centroids" not in index:
+            raise ValueError(
+                "ivf_nprobe set but the index has no IVF tables — rebuild "
+                "with index_and_query.py build --ivf-nlist"
+            )
 
         if mesh is not None:
             # shard the index over the mesh's data axis; zero-pad to a

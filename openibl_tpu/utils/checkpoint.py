@@ -40,11 +40,13 @@ def save_checkpoint(path, tree, metadata=None, is_best=False):
     d = osp.dirname(path)
     if d:
         os.makedirs(d, exist_ok=True)
+    # NB: None is an empty pytree node in jax — a {'teacher': None} subtree
+    # contributes zero leaves here, and a None placeholder in a load target
+    # likewise can never be populated from the archive; always pass concrete
+    # templates (engine/pipeline.py does).
     flat = jax.tree_util.tree_flatten_with_path(tree)[0]
     arrays = {}
     for p, leaf in flat:
-        if leaf is None:
-            continue
         arrays["leaf:" + _path_str(p)] = np.asarray(leaf)
     arrays["__meta__"] = np.frombuffer(
         json.dumps({"metadata": metadata or {}}).encode(), dtype=np.uint8
@@ -68,37 +70,37 @@ def load_checkpoint(path, target_tree, strict=False, verbose=False):
     """Load into the structure of ``target_tree`` by path; leaves absent from
     the archive or with mismatched shapes keep the target's value (tolerant
     merge). Returns (tree, metadata)."""
-    data = np.load(path)
-    meta = json.loads(bytes(data["__meta__"]).decode())
-    flat, treedef = jax.tree_util.tree_flatten_with_path(target_tree)
-    leaves = []
-    for p, leaf in flat:
-        key = "leaf:" + _path_str(p)
-        if key in data.files:
-            stored = data[key]
-            if leaf is not None and np.shape(leaf) != stored.shape:
-                if strict:
-                    raise ValueError(
-                        f"shape mismatch at {key}: {stored.shape} vs "
-                        f"{np.shape(leaf)}"
-                    )
-                if verbose:
-                    print(f"mismatch at {key}, keeping target")
-                leaves.append(leaf)
+    with np.load(path) as data:
+        meta = json.loads(bytes(data["__meta__"]).decode())
+        flat, treedef = jax.tree_util.tree_flatten_with_path(target_tree)
+        leaves = []
+        for p, leaf in flat:
+            key = "leaf:" + _path_str(p)
+            if key in data.files:
+                stored = data[key]
+                if np.shape(leaf) != stored.shape:
+                    if strict:
+                        raise ValueError(
+                            f"shape mismatch at {key}: {stored.shape} vs "
+                            f"{np.shape(leaf)}"
+                        )
+                    if verbose:
+                        print(f"mismatch at {key}, keeping target")
+                    leaves.append(leaf)
+                else:
+                    leaves.append(stored)
             else:
-                leaves.append(stored)
-        else:
-            if strict:
-                raise KeyError(f"missing {key} in {path}")
-            if verbose:
-                print(f"missing {key}, keeping target")
-            leaves.append(leaf)
+                if strict:
+                    raise KeyError(f"missing {key} in {path}")
+                if verbose:
+                    print(f"missing {key}, keeping target")
+                leaves.append(leaf)
     return jax.tree_util.tree_unflatten(treedef, leaves), meta.get(
         "metadata", {}
     )
 
 
 def load_metadata(path):
-    data = np.load(path)
-    meta = json.loads(bytes(data["__meta__"]).decode())
+    with np.load(path) as data:
+        meta = json.loads(bytes(data["__meta__"]).decode())
     return meta.get("metadata", {})

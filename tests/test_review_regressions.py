@@ -137,3 +137,72 @@ class TestPaddedLoaderHeaderProbe:
         assert len(loader._buckets) == 2  # two aspect buckets
         total = sum(count for *_, count in loader)
         assert total == 3
+
+
+class TestRound4ReviewRegressions:
+    """Round-4 review findings: silent random PCA in hub loads, serving index
+    validation, and the evaluator's opaque NMS crash."""
+
+    def test_hub_rejects_pca_less_checkpoint(self, tmp_path):
+        """A trainer checkpoint carries only base+vlad leaves; loading it into
+        the embednetpca template must raise, not silently keep the RANDOM
+        pca projection (which whitens every descriptor with noise)."""
+        from openibl_tpu.hub import vgg16_netvlad
+        from openibl_tpu.utils.checkpoint import save_checkpoint
+
+        emodel = models.create("embednet", net_vlad=NetVLAD(num_clusters=4))
+        params = emodel.init(jax.random.PRNGKey(0))
+        path = save_checkpoint(str(tmp_path / "ckpt.npz"), {"params": params})
+        with pytest.raises(ValueError, match="PCA"):
+            vgg16_netvlad(path, num_clusters=4, pca_dim=16)
+
+    def test_hub_discovers_sibling_pca_h5(self, tmp_path, rng):
+        """The reference convention pca_params_<stem>.h5 next to the
+        checkpoint (test.py:109) is picked up automatically and fills the
+        pca leaves with the trained projection."""
+        from openibl_tpu.hub import vgg16_netvlad
+        from openibl_tpu.ops.pca import pca_train, pca_projection, save_pca
+        from openibl_tpu.utils.checkpoint import save_checkpoint
+
+        emodel = models.create("embednet", net_vlad=NetVLAD(num_clusters=4))
+        params = emodel.init(jax.random.PRNGKey(0))
+        path = save_checkpoint(str(tmp_path / "model_best.npz"),
+                               {"params": params})
+        x = rng.randn(40, 2048).astype(np.float32)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        pca = pca_train(x, n_components=16)
+        save_pca(pca, str(tmp_path / "pca_params_model_best.h5"))
+
+        _, loaded = vgg16_netvlad(path, num_clusters=4, pca_dim=16)
+        proj, bias = pca_projection(pca, n_components=16, whiten=True)
+        np.testing.assert_allclose(np.asarray(loaded["pca"]["w"]),
+                                   np.asarray(proj), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(loaded["pca"]["b"]),
+                                   np.asarray(bias), rtol=1e-6)
+
+    def test_serving_rejects_paths_length_mismatch(self, rng):
+        """A truncated 'paths' array must fail at load, not as per-request
+        IndexErrors at query time."""
+        from openibl_tpu.serving import RetrievalService
+
+        idx = {
+            "descriptors": rng.randn(8, 16).astype(np.float32),
+            "paths": np.asarray([f"img{i}" for i in range(6)]),
+        }
+        with pytest.raises(ValueError, match="paths"):
+            RetrievalService(idx)
+
+    def test_nms_requires_gallery_pids(self, rng):
+        """nms=True without gallery_pids raises a clear error BEFORE the
+        device kNN, not an opaque TypeError inside spatial_nms after it."""
+        from openibl_tpu.engine.evaluator import (
+            evaluate_descriptors, recalls_from_ranks,
+        )
+
+        with pytest.raises(ValueError, match="gallery_pids"):
+            recalls_from_ranks(np.zeros((2, 3), int), [[0], [1]], nms=True)
+        q = rng.randn(2, 8).astype(np.float32)
+        g = rng.randn(5, 8).astype(np.float32)
+        with pytest.raises(ValueError, match="gallery_pids"):
+            evaluate_descriptors(q, g, [[0], [1]], nms=True,
+                                 print_results=False)
