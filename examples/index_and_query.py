@@ -32,7 +32,7 @@ def build(args):
     if not paths:
         raise SystemExit(f"no images under {args.gallery}")
     print(f"indexing {len(paths)} images from {args.gallery}")
-    model, params = vgg16_netvlad(args.weights)
+    model, params = vgg16_netvlad(args.weights, pca_params=args.pca_params)
     src = ImageSource(
         [(p, i, 0.0, 0.0) for i, p in enumerate(paths)],
         transform=TestTransform(args.height, args.width, device_normalize=True),
@@ -81,7 +81,8 @@ def query(args):
     data = np.load(index_path, allow_pickle=False)
     gallery, paths = data["descriptors"], data["paths"]
     scales = data["scales"] if gallery.dtype == np.int8 else None
-    extractor = DescriptorExtractor(args.weights, args.height, args.width)
+    extractor = DescriptorExtractor(args.weights, args.height, args.width,
+                                    pca_params=args.pca_params)
     desc = extractor(Image.open(args.image).convert("RGB"))
     d, idx = topk_nearest(jnp.asarray(desc), jnp.asarray(gallery),
                           k=min(args.topk, len(gallery)),
@@ -114,6 +115,9 @@ def main():
     q.add_argument("--topk", type=int, default=5)
     for sp in (b, q):
         sp.add_argument("--weights", type=str, default=None)
+        sp.add_argument("--pca-params", type=str, default=None,
+                        help="PCA-whitening .h5/.npz for trainer checkpoints "
+                             "(auto-discovered next to the checkpoint)")
         sp.add_argument("--height", type=int, default=480)
         sp.add_argument("--width", type=int, default=640)
         sp.add_argument("--batch-size", type=int, default=16)

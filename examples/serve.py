@@ -70,6 +70,9 @@ def main():
     p = argparse.ArgumentParser(description="retrieval HTTP server (TPU)")
     p.add_argument("index", help="index .npz from index_and_query.py build")
     p.add_argument("--weights", type=str, default=None)
+    p.add_argument("--pca-params", type=str, default=None,
+                   help="PCA-whitening .h5/.npz for trainer checkpoints "
+                        "(auto-discovered next to the checkpoint if omitted)")
     p.add_argument("--host", type=str, default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--height", type=int, default=480)
@@ -96,7 +99,8 @@ def main():
     service = RetrievalService(args.index, weights=args.weights,
                                height=args.height, width=args.width,
                                mesh=mesh, quantize_int8=args.int8,
-                               ivf_nprobe=args.ivf_nprobe)
+                               ivf_nprobe=args.ivf_nprobe,
+                               pca_params=args.pca_params)
     print(f"warming {len(service.buckets)} batch buckets over "
           f"{service.index_size}-image index ...")
     service.warmup()

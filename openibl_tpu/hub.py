@@ -14,6 +14,27 @@ from openibl_tpu import models
 from openibl_tpu.data.transforms import TestTransform
 
 
+def _require_loaded(params, template, path):
+    """Inference loads must be complete: a leaf the tolerant merge 'kept
+    target' on (missing from the archive or shape-mismatched) is RANDOM init
+    here — fail loudly instead of serving garbage descriptors. The pca
+    subtree is exempt (trainer checkpoints never carry it; vgg16_netvlad
+    fills it from the PCA params file or raises)."""
+    flat_t = jax.tree_util.tree_flatten_with_path(template)[0]
+    flat_p = jax.tree_util.tree_flatten_with_path(params)[0]
+    bad = [
+        jax.tree_util.keystr(p)
+        for (p, t_leaf), (_, leaf) in zip(flat_t, flat_p)
+        if leaf is t_leaf and not jax.tree_util.keystr(p).startswith("['pca']")
+    ]
+    if bad:
+        raise ValueError(
+            f"{path} did not provide {len(bad)} model leaves (e.g. "
+            f"{bad[:3]}): wrong file or architecture mismatch — check "
+            f"num_clusters/pca_dim against the checkpoint"
+        )
+
+
 def vgg16_netvlad(pretrained=None, num_clusters=64, pca_dim=4096,
                   pca_params=None):
     """Build the inference model.
@@ -58,6 +79,7 @@ def vgg16_netvlad(pretrained=None, num_clusters=64, pca_dim=4096,
             loaded, _ = load_checkpoint(pretrained, {"params": template},
                                         strict=False, verbose=True)
             params = loaded["params"]
+            _require_loaded(params, template, pretrained)
             if pca_params is None and not ckpt_has_pca:
                 stem = osp.basename(str(pretrained)).split(".")[0] or "model"
                 cand = osp.join(osp.dirname(str(pretrained)) or ".",
@@ -76,6 +98,7 @@ def vgg16_netvlad(pretrained=None, num_clusters=64, pca_dim=4096,
                     )
         else:
             params, _ = load_checkpoint(pretrained, template, verbose=True)
+            _require_loaded(params, template, pretrained)
     else:
         import torch
 

@@ -32,6 +32,9 @@ class RetrievalService:
         — for an int8 index — per-row dequant "scales" (N,).
       weights: released .pth / our .npz checkpoint for the descriptor model
         (None = random init, for tests).
+      pca_params: PCA-whitening .h5/.npz for trainer checkpoints that lack
+        pca leaves (see hub.vgg16_netvlad; auto-discovered next to the
+        checkpoint when omitted).
       height/width: model input resolution (the hub contract is 480x640).
       quantize_int8: quantize a float index to int8 at load (quarter-width
         in HBM; pre-quantized int8 indexes are detected automatically).
@@ -45,7 +48,7 @@ class RetrievalService:
 
     def __init__(self, index, weights=None, height=480, width=640,
                  batch_buckets=_BATCH_BUCKETS, mesh=None,
-                 quantize_int8=False, ivf_nprobe=0):
+                 quantize_int8=False, ivf_nprobe=0, pca_params=None):
         import jax
         import jax.numpy as jnp
 
@@ -88,7 +91,8 @@ class RetrievalService:
         self.index_size = gallery.shape[0]
         self.height, self.width = height, width
         self.buckets = tuple(sorted(batch_buckets))
-        self._model, self._params = vgg16_netvlad(weights)
+        self._model, self._params = vgg16_netvlad(weights,
+                                                  pca_params=pca_params)
         self._lock = threading.Lock()  # serialize device work per process
         self.mesh = mesh
 

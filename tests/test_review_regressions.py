@@ -206,3 +206,15 @@ class TestRound4ReviewRegressions:
         with pytest.raises(ValueError, match="gallery_pids"):
             evaluate_descriptors(q, g, [[0], [1]], nms=True,
                                  print_results=False)
+
+    def test_hub_rejects_architecture_mismatch(self, tmp_path):
+        """A checkpoint whose base/vlad leaves don't fill the template (wrong
+        num_clusters here) must raise, not silently serve random init."""
+        from openibl_tpu.hub import vgg16_netvlad
+        from openibl_tpu.utils.checkpoint import save_checkpoint
+
+        emodel = models.create("embednet", net_vlad=NetVLAD(num_clusters=8))
+        params = emodel.init(jax.random.PRNGKey(0))
+        path = save_checkpoint(str(tmp_path / "ckpt8.npz"), {"params": params})
+        with pytest.raises(ValueError, match="architecture|leaves"):
+            vgg16_netvlad(path, num_clusters=4, pca_dim=16)
