@@ -57,7 +57,6 @@ int64_t expansion_impl(const float* original, const int32_t* rank, int64_t n,
   for (int64_t i = 0; i < n; ++i) {
     k_reciprocal(rank, rank_cols, i, k1, &k_recip);
     expansion = k_recip;
-    for (char& c : in_set) c = 0;  // reset membership (n is small enough)
     for (int32_t v : k_recip) in_set[v] = 1;
 
     for (int32_t cand : k_recip) {
@@ -68,6 +67,9 @@ int64_t expansion_impl(const float* original, const int32_t* rank, int64_t n,
         expansion.insert(expansion.end(), cand_recip.begin(), cand_recip.end());
       }
     }
+    // clear only the <= k1+1 entries set above: a full n-byte reset per item
+    // is O(n^2) memory traffic (~8 GB at the 91k-item streaming scale)
+    for (int32_t v : k_recip) in_set[v] = 0;
     std::sort(expansion.begin(), expansion.end());
     expansion.erase(std::unique(expansion.begin(), expansion.end()),
                     expansion.end());

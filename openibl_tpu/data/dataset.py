@@ -49,6 +49,14 @@ def radius_neighbors(query_utm, gallery_utm, radius, chunk=2048):
     Returns a list of sorted index lists."""
     q = np.asarray(query_utm, np.float64)
     g = np.asarray(gallery_utm, np.float64)
+    # center first: raw UTM coordinates are ~1e6, where the x²+y²−2xy form
+    # loses ~1e-2 of d² to cancellation (float64 ulp of q²+g² ≈ 4e-3) —
+    # enough to flip membership at the exact 10 m/25 m radius boundary the
+    # reference's sklearn NearestNeighbors computes exactly. Centered
+    # coordinates are ~1e4, pushing the error below 1e-6 m².
+    mu = g.mean(0) if len(g) else 0.0
+    q = q - mu
+    g = g - mu
     r2 = radius * radius
     g2 = (g ** 2).sum(1)
     out = []
@@ -56,7 +64,7 @@ def radius_neighbors(query_utm, gallery_utm, radius, chunk=2048):
         qc = q[s : s + chunk]
         # x² + y² − 2xy form: (chunk, G) only, no (chunk, G, 2) broadcast
         d2 = (qc ** 2).sum(1)[:, None] + g2[None, :] - 2.0 * (qc @ g.T)
-        for row in d2 <= r2 + 1e-9:
+        for row in d2 <= r2 + 1e-6:
             out.append(np.nonzero(row)[0].tolist())
     return out
 

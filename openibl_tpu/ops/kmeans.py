@@ -42,9 +42,14 @@ def _lloyd(x, centers, iters):
     x2 = jnp.sum(jnp.square(x), axis=1, keepdims=True)
 
     def assign_d2(centers):
+        # HIGHEST precision (CLAUDE.md descriptor-path rule): bf16 default
+        # matmul error ~1e-2 on unit-norm conv5 descriptors swamps the
+        # squared-distance gaps between nearby centroids and flips
+        # borderline assignments every iteration
         c2 = jnp.sum(jnp.square(centers), axis=1)[None, :]
         return x2 + c2 - 2.0 * jnp.dot(
-            x, centers.T, preferred_element_type=jnp.float32
+            x, centers.T, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
     def body(centers, _):
@@ -52,7 +57,8 @@ def _lloyd(x, centers, iters):
         assign = jnp.argmin(d2, axis=1)
         one_hot = jax.nn.one_hot(assign, k, dtype=jnp.float32)
         counts = one_hot.sum(axis=0)  # (K,)
-        sums = jnp.dot(one_hot.T, x, preferred_element_type=jnp.float32)
+        sums = jnp.dot(one_hot.T, x, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
         new_centers = sums / jnp.maximum(counts, 1.0)[:, None]
         # keep empty clusters where they were
         new_centers = jnp.where(counts[:, None] > 0, new_centers, centers)

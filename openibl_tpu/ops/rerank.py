@@ -100,7 +100,10 @@ def re_ranking(q_g_dist, q_q_dist, g_g_dist, k1=20, k2=6, lambda_value=0.3,
     else:
         initial_rank = np.argsort(original, axis=1).astype(np.int32)
 
-    if _native.available():
+    # the native kernel asserts depth >= k1+1; a union smaller than that
+    # (toy galleries) takes the numpy path, whose clamped slices reproduce
+    # the reference's full-argsort behavior exactly
+    if _native.available() and initial_rank.shape[1] >= k1 + 1:
         rows, cols, vals = _native.expansion_weights(original, initial_rank, k1)
     else:
         expansion = _expansion_index(initial_rank, k1)
@@ -111,38 +114,16 @@ def re_ranking(q_g_dist, q_q_dist, g_g_dist, k1=20, k2=6, lambda_value=0.3,
         weights = [np.exp(-original[i, e]) for i, e in enumerate(expansion)]
         vals = np.concatenate([w / w.sum() for w in weights]).astype(np.float32)
 
-    if sp is not None:
-        v_mat = sp.csr_matrix((vals, (rows, cols)), shape=(n, n), dtype=np.float32)
-    else:  # dense fallback
-        v_dense = np.zeros((n, n), np.float32)
-        v_dense[rows, cols] = vals
-        v_mat = v_dense
-
     if k2 != 1:
-        if sp is not None and sp.issparse(v_mat):
-            v_new = sp.lil_matrix((n, n), dtype=np.float32)
-            for i in range(n):
-                v_new[i] = v_mat[initial_rank[i, :k2]].mean(axis=0)
-            v_mat = v_new.tocsr()
-        else:
-            v_mat = np.stack(
-                [v_mat[initial_rank[i, :k2]].mean(axis=0) for i in range(n)]
-            )
+        rows, cols, vals = _query_expand(rows, cols, vals, initial_rank,
+                                         k2, n)
 
     # Jaccard from sparse intersection, for queries only — through
     # JaccardEngine so the materialized path shares the streaming path's
     # engines (threaded C++ kernel when built, scipy loop otherwise)
-    if sp is not None and sp.issparse(v_mat):
-        coo = v_mat.tocsr()
-        coo.sum_duplicates()
-        coo = coo.tocoo()
-        e_rows = coo.row.astype(np.int32)
-        e_cols = coo.col.astype(np.int32)
-        e_vals = coo.data.astype(np.float32)
-    else:
-        e_rows, e_cols = (a.astype(np.int32) for a in np.nonzero(v_mat))
-        e_vals = np.asarray(v_mat[e_rows, e_cols], np.float32)
-    engine = JaccardEngine(e_rows, e_cols, e_vals, n)
+    engine = JaccardEngine(np.asarray(rows, np.int32),
+                           np.asarray(cols, np.int32),
+                           np.asarray(vals, np.float32), n)
     jaccard = engine.query(np.arange(query_num))
 
     original_q = original[:query_num]
@@ -176,6 +157,30 @@ def _pair_d2(u_dev, r_idx, c_idx):
     return _PAIR_D2_JIT(u_dev, r_idx, c_idx)
 
 
+def _query_expand(rows, cols, vals, initial_rank, k2, n):
+    """k2 query expansion: V ← mean of each row's k2 nearest rows (reference
+    rerank.py:59-63), on the sparse triplet. Shared by re_ranking and
+    rerank_ranks_streaming so the two paths — asserted numerically identical
+    in tests — cannot drift. Returns the re-extracted row-major triplet;
+    with scipy absent falls back to a dense (n, n) buffer."""
+    if sp is None:
+        v_dense = np.zeros((n, n), np.float32)
+        v_dense[rows, cols] = vals
+        v_dense = np.stack(
+            [v_dense[initial_rank[i, :k2]].mean(axis=0) for i in range(n)]
+        )
+        e_rows, e_cols = (a.astype(np.int32) for a in np.nonzero(v_dense))
+        return e_rows, e_cols, np.asarray(v_dense[e_rows, e_cols], np.float32)
+    v_mat = sp.csr_matrix((vals, (rows, cols)), shape=(n, n),
+                          dtype=np.float32)
+    v_new = sp.lil_matrix((n, n), dtype=np.float32)
+    for i in range(n):
+        v_new[i] = v_mat[initial_rank[i, :k2]].mean(axis=0)
+    coo = v_new.tocsr().sorted_indices().tocoo()
+    return (coo.row.astype(np.int32), coo.col.astype(np.int32),
+            coo.data.astype(np.float32))
+
+
 def build_v_sparse(u_feats, k1, pair_chunk=1 << 16, depth=None):
     """k-reciprocal V rows directly from descriptors — no N x N matrix.
 
@@ -202,7 +207,8 @@ def build_v_sparse(u_feats, k1, pair_chunk=1 << 16, depth=None):
     initial_rank = np.asarray(initial_rank, np.int32)
     rm2 = np.maximum(np.square(np.asarray(rowmax, np.float32)), 1e-12)
 
-    if _native.available():
+    # tiny unions (depth < k1+1) take the numpy path — see re_ranking
+    if _native.available() and initial_rank.shape[1] >= k1 + 1:
         rows, cols = _native.expansion_sets(initial_rank, k1)
     else:
         expansion = _expansion_index(initial_rank, k1)
@@ -535,16 +541,8 @@ def rerank_ranks_streaming(q_feats, g_feats, k1=25, k2=1, lambda_value=0.0,
                 "rerank_ranks_streaming with k2 != 1 (query expansion) "
                 "requires scipy; the reference call sites use k2=1"
             )
-        v_mat = sp.csr_matrix((vals, (rows, cols)), shape=(n, n),
-                              dtype=np.float32)
-        v_new = sp.lil_matrix((n, n), dtype=np.float32)
-        for i in range(n):
-            v_new[i] = v_mat[initial_rank[i, :k2]].mean(axis=0)
-        v_csr = v_new.tocsr().sorted_indices()
-        coo = v_csr.tocoo()
-        rows, cols, vals = (coo.row.astype(np.int32),
-                            coo.col.astype(np.int32),
-                            coo.data.astype(np.float32))
+        rows, cols, vals = _query_expand(rows, cols, vals, initial_rank,
+                                         k2, n)
 
     engine = JaccardEngine(rows, cols, vals, n)
     out_idx = np.empty((n_q, k_out), np.int64)

@@ -218,3 +218,36 @@ class TestRound4ReviewRegressions:
         path = save_checkpoint(str(tmp_path / "ckpt8.npz"), {"params": params})
         with pytest.raises(ValueError, match="architecture|leaves"):
             vgg16_netvlad(path, num_clusters=4, pca_dim=16)
+
+    def test_radius_neighbors_utm_scale_exact(self, rng):
+        """At raw UTM magnitudes (~5.8e5, 4.4e6) the x²+y²−2xy form loses
+        ~1e-2 of d² to cancellation; membership at the exact 10 m boundary
+        must match the direct (q−g)² computation (the reference's sklearn
+        NearestNeighbors is exact)."""
+        from openibl_tpu.data.dataset import radius_neighbors
+
+        base = np.array([583730.0, 4477400.0])
+        g = base + rng.randn(500, 2) * 30
+        # plant points EXACTLY on and just inside/outside the radius
+        q = base + np.array([[3.0, 4.0]])
+        g = np.concatenate([g, q + [[6.0, 8.0]],        # exactly 10.0 m
+                            q + [[6.0, 7.999999]],      # just inside
+                            q + [[6.0, 8.000001]]])     # just outside
+        got = radius_neighbors(q, g, 10.0)[0]
+        d2 = ((g - q) ** 2).sum(1)
+        expect = np.nonzero(d2 <= 100.0 + 1e-6)[0].tolist()
+        assert got == expect
+
+    def test_rerank_tiny_union_native_parity(self, rng):
+        """Unions smaller than k1+1 must work (and agree) whether or not the
+        native kernel is built — they route to the clamped numpy path."""
+        from openibl_tpu.ops import rerank as rr
+
+        q = rng.randn(4, 8).astype(np.float32)
+        g = rng.randn(9, 8).astype(np.float32)  # union 13 < k1+1 = 21
+        u = np.concatenate([q, g])
+        d2 = ((u[:, None] - u[None]) ** 2).sum(-1).astype(np.float32)
+        out = rr.re_ranking(d2[:4, 4:], d2[:4, :4], d2[4:, 4:], k1=20, k2=6)
+        assert out.shape == (4, 9) and np.isfinite(out).all()
+        rows, cols, vals, rank, rm2 = rr.build_v_sparse(u, k1=20)
+        assert len(rows) and np.isfinite(vals).all()
