@@ -62,7 +62,15 @@ def make_optimizer(lr, momentum=0.9, weight_decay=1e-3, trainable_mask=None):
 
 
 def set_learning_rate(opt_state, lr):
-    """StepLR: update the injected learning rate in the optimizer state."""
+    """StepLR: update the injected learning rate in the optimizer state.
+
+    FUNCTIONAL: the input state is left untouched. The containers are
+    rebuilt (flatten/unflatten shares the immutable leaf arrays but makes
+    fresh dicts/NamedTuples), so a checkpoint snapshot taken before the LR
+    change cannot see the post-decay rate through a shared hyperparams
+    dict."""
+    leaves, treedef = jax.tree_util.tree_flatten(opt_state)
+    opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
 
     def visit(state):
         if hasattr(state, "hyperparams") and "learning_rate" in state.hyperparams:
@@ -112,9 +120,14 @@ class MeshBatchMixin:
     def _device_key(self, key):
         """Multi-host jits reject device arrays committed to one process's
         device; a host copy (identical on every process) is placed replicated
-        by the jit's in_shardings."""
+        by the jit's in_shardings. New-style typed PRNG keys
+        (jax.random.key) are unwrapped to their raw data first —
+        np.asarray on a key-dtype array raises."""
         if self.mesh is None or jax.process_count() == 1:
             return key
+        if hasattr(key, "dtype") and jnp.issubdtype(key.dtype,
+                                                    jax.dtypes.prng_key):
+            key = jax.random.key_data(key)
         return np.asarray(key)
 
 
@@ -238,15 +251,14 @@ class Trainer(MeshBatchMixin):
         losses, batch_time = AverageMeter(), AverageMeter()
         end = time.time()
         for i, images in enumerate(tuple_loader):
-            if self.device_jitter:
-                params, opt_state, loss = self._step(
-                    params, opt_state, self._device_batch(images),
-                    self._device_key(jax.random.fold_in(rng_key, i)),
-                )
-            else:
-                params, opt_state, loss = self._step(
-                    params, opt_state, self._device_batch(images)
-                )
+            # through step(): one owner for the dispatch/key handling and
+            # its init guard (a direct self._step call would raise an opaque
+            # TypeError when init() was skipped)
+            params, opt_state, loss = self.step(
+                params, opt_state, images,
+                key=(jax.random.fold_in(rng_key, i)
+                     if self.device_jitter else None),
+            )
             losses.update(float(loss))
             batch_time.update(time.time() - end)
             end = time.time()

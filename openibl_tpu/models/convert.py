@@ -112,7 +112,10 @@ def merge_params(target, source, verbose=False):
                 k: _merge(t[k], s[k], f"{path}/{k}") if isinstance(s, dict) and k in s else t[k]
                 for k in t
             }
-        s_arr = jnp.asarray(s)
+        # jnp.array (copy), NOT jnp.asarray: asarray aliases live device
+        # buffers, and a merged tree later donated into a train step would
+        # invalidate the retained source tree (CLAUDE.md donation gotcha)
+        s_arr = jnp.array(s)
         if jnp.shape(t) != jnp.shape(s_arr):
             if verbose:
                 print(f"mismatch at {path}: {jnp.shape(s_arr)} vs {jnp.shape(t)}")

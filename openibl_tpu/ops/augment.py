@@ -92,28 +92,41 @@ def _hue(x, shift):
 
 def color_jitter_image(x, key, brightness=0.7, contrast=0.7, saturation=0.7,
                        hue=0.5):
-    """Jitter one (H, W, 3) float32 image at 0..255 scale."""
+    """Jitter one (H, W, 3) float32 image at 0..255 scale.
+
+    Zero-range ops are skipped at TRACE time (the ranges are static), exactly
+    like torchvision skips disabled ops — a factor-1 contrast or shift-0 hue
+    is NOT bit-identity (float reassociation, HSV round-trip), so running
+    them would break the module's bit-reproducibility contract for users who
+    disable ops. The key is always split the same way, so enabling one op
+    never changes another op's random factors."""
     kb, kc, ks, kh, kp = jax.random.split(key, 5)
-    fb = jax.random.uniform(kb, minval=max(0.0, 1 - brightness),
-                            maxval=1 + brightness)
-    fc = jax.random.uniform(kc, minval=max(0.0, 1 - contrast),
-                            maxval=1 + contrast)
-    fs = jax.random.uniform(ks, minval=max(0.0, 1 - saturation),
-                            maxval=1 + saturation)
-    fh = jax.random.uniform(kh, minval=-hue, maxval=hue)
-    branches = [
-        lambda x: _brightness(x, fb),
-        lambda x: _contrast(x, fc),
-        lambda x: _saturation(x, fs),
-        lambda x: _hue(x, fh),
-    ]
+    branches = []
+    if brightness > 0:
+        fb = jax.random.uniform(kb, minval=max(0.0, 1 - brightness),
+                                maxval=1 + brightness)
+        branches.append(lambda x, f=fb: _brightness(x, f))
+    if contrast > 0:
+        fc = jax.random.uniform(kc, minval=max(0.0, 1 - contrast),
+                                maxval=1 + contrast)
+        branches.append(lambda x, f=fc: _contrast(x, f))
+    if saturation > 0:
+        fs = jax.random.uniform(ks, minval=max(0.0, 1 - saturation),
+                                maxval=1 + saturation)
+        branches.append(lambda x, f=fs: _saturation(x, f))
+    if hue > 0:
+        fh = jax.random.uniform(kh, minval=-hue, maxval=hue)
+        branches.append(lambda x, f=fh: _hue(x, f))
+    if not branches:
+        return jnp.asarray(x, jnp.float32)  # all disabled: exact identity
     # NB: under vmap the batched switch index makes every slot evaluate all
-    # four branches and select (16 elementwise passes per image, 4 of them
-    # HSV round-trips). That is the cost of per-image random op ORDER with
-    # one compiled program; it totals <1% of a VGG16 forward on the same
-    # pixels, so clarity wins over a gather-based reformulation.
-    order = jax.random.permutation(kp, 4)
-    for slot in range(4):
+    # enabled branches and select (16 elementwise passes per image at the
+    # default four, 4 of them HSV round-trips). That is the cost of
+    # per-image random op ORDER with one compiled program; it totals <1% of
+    # a VGG16 forward on the same pixels, so clarity wins over a
+    # gather-based reformulation.
+    order = jax.random.permutation(kp, len(branches))
+    for slot in range(len(branches)):
         x = jax.lax.switch(order[slot], branches, x)
     return x
 
@@ -123,8 +136,8 @@ def color_jitter_batch(images, key, brightness=0.7, contrast=0.7,
     """Jitter (N, H, W, 3) images (uint8 or float32, 0..255 scale) with
     independent per-image factors and op order. Returns float32.
 
-    A zero-range op degenerates to identity (factor drawn from [1, 1]),
-    matching torchvision's skip of disabled ops.
+    Zero-range ops are skipped at trace time (see color_jitter_image);
+    all four at zero is an exact float32 identity.
     """
     images = jnp.asarray(images, jnp.float32)
     keys = jax.random.split(key, images.shape[0])

@@ -124,6 +124,19 @@ def _bwd(normalize_input, postprocess, interpret, res, g):
 _netvlad_fused.defvjp(_fwd, _bwd)
 
 
+# Per-image VMEM bound for the fused kernel: x (P,C) in f32 plus its
+# normalized copy, logits + softmax (P,K), weights/centroids/output (C,K /
+# K,C x3). ~16 MB is the hardware budget; 12 MB leaves headroom for Mosaic's
+# own temporaries. Over budget (large eval resolutions) the mathematically
+# identical XLA head takes over instead of an opaque Mosaic compile error —
+# the same guarded-fallback pattern as conv1_kernel.conv1_relu.
+_VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+
+
+def _fused_vmem_bytes(p, c, k):
+    return 4 * (2 * p * c + 2 * p * k + 3 * k * c)
+
+
 def netvlad_fused(fmap, assign_w, centroids, *, normalize_input=True,
                   postprocess=False, interpret=None):
     """Fused NetVLAD. Returns (N, K, C); with ``postprocess`` the result is
@@ -131,9 +144,23 @@ def netvlad_fused(fmap, assign_w, centroids, *, normalize_input=True,
     final descriptor).
 
     ``interpret`` defaults to True off-TPU (CPU tests) and False on TPU.
+    Images whose per-image working set exceeds the VMEM budget fall back to
+    the XLA head (identical math — it already provides this kernel's vjp).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    n, h, w, c = fmap.shape
+    k = assign_w.shape[1]
+    if not interpret and _fused_vmem_bytes(h * w, c, k) > _VMEM_BUDGET_BYTES:
+        from openibl_tpu.models.netvlad import netvlad_apply, vlad_postprocess
+
+        vlad = netvlad_apply(
+            {"assign_w": assign_w, "centroids": centroids}, fmap,
+            normalize_input=normalize_input,
+        )
+        if postprocess:
+            vlad = vlad_postprocess(vlad).reshape(n, k, c)
+        return vlad
     return _netvlad_fused(
         jnp.asarray(fmap), jnp.asarray(assign_w, jnp.float32),
         jnp.asarray(centroids, jnp.float32), normalize_input, postprocess,

@@ -251,3 +251,59 @@ class TestRound4ReviewRegressions:
         assert out.shape == (4, 9) and np.isfinite(out).all()
         rows, cols, vals, rank, rm2 = rr.build_v_sparse(u, k1=20)
         assert len(rows) and np.isfinite(vals).all()
+
+    def test_set_learning_rate_is_functional(self):
+        """A snapshot taken before the LR change must keep the old rate —
+        the hyperparams dict must not be shared with the returned state."""
+        from openibl_tpu.engine.trainer import make_optimizer, set_learning_rate
+
+        tx = make_optimizer(1e-3)
+        state = tx.init({"w": np.zeros(3, np.float32)})
+
+        def get_lr(s):
+            if hasattr(s, "hyperparams") and "learning_rate" in s.hyperparams:
+                return float(s.hyperparams["learning_rate"])
+            children = (s.values() if isinstance(s, dict)
+                        else s if isinstance(s, tuple) else [])
+            for c in children:
+                lr = get_lr(c)
+                if lr is not None:
+                    return lr
+            return None
+
+        new = set_learning_rate(state, 5e-4)
+        assert abs(get_lr(new) - 5e-4) < 1e-9
+        assert abs(get_lr(state) - 1e-3) < 1e-9, "snapshot mutated in place"
+
+    def test_color_jitter_all_zero_is_identity(self, rng):
+        """Zero-range ops are skipped at trace time; all four disabled is an
+        exact float32 identity (torchvision's skip semantics)."""
+        from openibl_tpu.ops.augment import color_jitter_batch
+
+        x = rng.rand(2, 8, 6, 3).astype(np.float32) * 255
+        out = np.asarray(color_jitter_batch(
+            x, jax.random.PRNGKey(0),
+            brightness=0, contrast=0, saturation=0, hue=0,
+        ))
+        np.testing.assert_array_equal(out, x)
+
+    def test_netvlad_fused_vmem_fallback(self, rng):
+        """Over-budget shapes route to the XLA head instead of an opaque
+        Mosaic compile error (interpret=False off-TPU would otherwise fail
+        to lower — reaching the XLA result proves the guard fired)."""
+        from openibl_tpu.models.netvlad import netvlad_apply, vlad_postprocess
+        from openibl_tpu.ops.netvlad_kernel import (
+            _fused_vmem_bytes, _VMEM_BUDGET_BYTES, netvlad_fused,
+        )
+
+        h = w = 56  # P=3136, C=512, K=64 -> over the 12 MB budget
+        assert _fused_vmem_bytes(h * w, 512, 64) > _VMEM_BUDGET_BYTES
+        fmap = rng.randn(1, h, w, 512).astype(np.float32)
+        aw = rng.randn(512, 64).astype(np.float32) * 0.1
+        cen = rng.randn(64, 512).astype(np.float32)
+        out = netvlad_fused(fmap, aw, cen, postprocess=True, interpret=False)
+        expect = vlad_postprocess(netvlad_apply(
+            {"assign_w": aw, "centroids": cen}, fmap,
+        )).reshape(1, 64, 512)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                                   rtol=1e-6, atol=1e-6)
