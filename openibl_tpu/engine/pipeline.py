@@ -363,6 +363,24 @@ def run_baseline_training(cfg, mesh=None, verbose=True, timer=None):
     return params, recalls, history
 
 
+def _train_pca(feats, pca_dim, whiten, params_path, seed):
+    """Shared PCA fit (finalize_with_pca + run_eval's on-demand path): >10k
+    subsample, component clamp to the data, and rank-0-only persistence —
+    every process trains the identical PCA in memory (deterministic eigh on
+    identical all-gathered features); only rank 0 writes the h5."""
+    if len(feats) > 10000:
+        sel = np.random.RandomState(seed).choice(len(feats), 10000,
+                                                 replace=False)
+        feats = feats[sel]
+    pca = pca_ops.PCA(
+        min(pca_dim, feats.shape[0], feats.shape[1]), whiten=whiten,
+        params_path=params_path if jax.process_index() == 0 else None,
+    )
+    pca.train(feats)
+    pca.params_path = params_path
+    return pca
+
+
 def finalize_with_pca(cfg, dataset, sources, model, params, mesh=None,
                       verbose=True, nms=False):
     """Train PCA-whitening on <=10k train descriptors, evaluate the test split
@@ -382,18 +400,9 @@ def finalize_with_pca(cfg, dataset, sources, model, params, mesh=None,
                                  batch_size=bs, mesh=mesh, feature=feature,
                                  prefetch=pf),
     ])
-    if len(feats) > 10000:
-        sel = np.random.RandomState(cfg.seed).choice(len(feats), 10000, replace=False)
-        feats = feats[sel]
-    pca = pca_ops.PCA(
-        min(cfg.pca_dim, feats.shape[0], feats.shape[1]),
-        whiten=getattr(cfg, "whiten", True),
-        # every process trains the identical PCA in memory (deterministic
-        # eigh on identical features); only rank 0 persists it
-        params_path=osp.join(cfg.logs_dir, "pca_params_model_best.h5")
-        if is_main else None,
-    )
-    pca.train(feats)
+    pca = _train_pca(feats, cfg.pca_dim, getattr(cfg, "whiten", True),
+                     osp.join(cfg.logs_dir, "pca_params_model_best.h5"),
+                     cfg.seed)
     if verbose:
         print("Testing with PCA reduction:")
     evaluator = Evaluator(emodel.apply, mesh=mesh, feature=feature)
@@ -413,6 +422,14 @@ def finalize_with_pca(cfg, dataset, sources, model, params, mesh=None,
 # ---------------------------------------------------------------------------
 
 def run_sfrs_training(cfg, mesh=None, verbose=True, timer=None):
+    if not getattr(cfg, "use_vlad", True):
+        # the reference SFRS entry hardcodes vlad=True for mining and eval
+        # (netvlad_img_sfrs.py update_sampler/evaluate calls); honoring a
+        # pool-feature flag only in finalize_with_pca would silently train
+        # on one feature and test on another
+        raise ValueError("SFRS training is defined on the VLAD feature "
+                         "(the reference hardcodes vlad=True); "
+                         "use_vlad=False is only supported by the baseline")
     timer = timer if timer is not None else PhaseTimer()
     is_main = jax.process_index() == 0
     verbose = verbose and is_main  # rank-0 logging, like the reference
@@ -536,8 +553,15 @@ def run_sfrs_training(cfg, mesh=None, verbose=True, timer=None):
                                 np.square(np.maximum(d2_sub, 0.0))
                                 / rm2[sub][:, None]
                             ) * cfg.rerank_lambda
-                        jaccard_rows = jac[:, nq:]
+                            del d2_sub
+                        # COPY (not a view of jac) so the O(S·N) jaccard and
+                        # the other O(N)+ structures can be freed here — as
+                        # plain locals they would stay bound through the
+                        # whole train+eval phase (GBs of dead host arrays at
+                        # Pitts250k scale on the 1-core host)
+                        jaccard_rows = np.ascontiguousarray(jac[:, nq:])
                         q_feats = q_all[subset]
+                        del union, rows, cols, vals, jac, q_all
                 else:
                     with timer.phase("mining_extract"):
                         q_feats = extract_features_sharded(
@@ -620,9 +644,14 @@ def run_eval(cfg, mesh=None, train_cfg=None, verbose=True):
     """Checkpoint evaluation with optional PCA reduction / rerank / NMS
     (reference examples/test.py:77-133)."""
     dataset = load_dataset(cfg)
+    # uint8 to the device (4x less H2D over the slow tunnel); the model
+    # normalizes on chip from raw pixels (vgg16_apply dtype branch), same as
+    # make_sources and the PCA-fit source below
     test_tf = TestTransform(cfg.data.height, cfg.data.width,
-                            tokyo=(cfg.data.dataset == "tokyo"))
-    fixed_tf = TestTransform(cfg.data.height, cfg.data.width)
+                            tokyo=(cfg.data.dataset == "tokyo"),
+                            device_normalize=True)
+    fixed_tf = TestTransform(cfg.data.height, cfg.data.width,
+                             device_normalize=True)
     q_src = ImageSource(dataset.q_test, dataset.images_dir, test_tf)
     db_src = ImageSource(dataset.db_test, dataset.images_dir, fixed_tf)
 
@@ -646,8 +675,10 @@ def run_eval(cfg, mesh=None, train_cfg=None, verbose=True):
 
             from openibl_tpu.models import convert
 
+            # weights_only=True: plain tensor state dict, never opt into
+            # pickle execution for checkpoint files
             state = torch.load(cfg.checkpoint, map_location="cpu",
-                               weights_only=False)
+                               weights_only=True)
             if isinstance(state, dict) and "state_dict" in state:
                 state = state["state_dict"]
             params = convert.embednet_params_from_torch(state)
@@ -692,17 +723,9 @@ def run_eval(cfg, mesh=None, train_cfg=None, verbose=True):
                 batch_size=cfg.data.test_batch_size, mesh=mesh,
                 feature=feature, prefetch=cfg.data.workers,
             )
-            if len(feats) > 10000:
-                sel = np.random.RandomState(0).choice(len(feats), 10000,
-                                                      replace=False)
-                feats = feats[sel]
-            pca.n_components = min(cfg.pca_dim, feats.shape[0], feats.shape[1])
-            if jax.process_index() != 0:
-                # every process fits the identical PCA (same all-gathered
-                # features); only rank 0 writes the h5 (shared-FS safe)
-                pca.params_path = None
-            pca.train(feats)
-            pca.params_path = pca_path
+            pca = _train_pca(feats, cfg.pca_dim,
+                             getattr(cfg, "whiten", True), pca_path,
+                             getattr(cfg, "seed", 0))
 
     bs = cfg.data.test_batch_size
     pf = cfg.data.workers

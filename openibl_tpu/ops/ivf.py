@@ -164,8 +164,12 @@ def ivf_search(query, gallery, centroids, lists, k, nprobe,
     nprobe = min(nprobe, nlist)
     k = min(k, g.shape[0])
 
-    # coarse ranking: one small (Q, nlist) matmul
-    qc = jnp.dot(q, c.T, preferred_element_type=jnp.float32)
+    # coarse ranking: one small (Q, nlist) matmul. HIGHEST precision so the
+    # query-time probe ranking agrees with the HIGHEST-precision build-time
+    # cell assignment near cell boundaries (bf16 rounding there silently
+    # drops the true neighbor's cell from the nprobe set)
+    qc = jnp.dot(q, c.T, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
     c2 = jnp.sum(jnp.square(c), axis=1)[None, :]
     _, probe_ids = jax.lax.top_k(-(c2 - 2.0 * qc), nprobe)  # (Q, nprobe)
 
