@@ -43,10 +43,6 @@ def main():
                    choices=["float32", "bfloat16"])
     p.add_argument("--no-fused", action="store_true",
                    help="disable the fused Pallas NetVLAD head")
-    p.add_argument("--fused-conv1", action="store_true",
-                   help="route conv1_1 through the experimental Pallas "
-                        "row-band kernel (ops/conv1_kernel; pending the "
-                        "mosaic_probe verdict)")
     p.add_argument("--metric", type=str, default="extract",
                    choices=["extract", "query", "train", "sfrs"],
                    help="extract = images/sec/chip; query = end-to-end "
@@ -116,8 +112,7 @@ def _bench_body(args):
     def build_extract_model():
         model = models.create(
             "embednetpca",
-            base=models.VGG16(compute_dtype=dtype,
-                              fused_conv1=args.fused_conv1),
+            base=models.VGG16(compute_dtype=dtype),
             net_vlad=models.NetVLAD(num_clusters=64, fused=fused),
             pca_dim=4096,
         )
@@ -345,9 +340,8 @@ def _bench_body(args):
         print("bench: no batch size completed (persistent device failure)",
               file=sys.stderr, flush=True)
         sys.exit(1)
-    conv1_suffix = "_conv1fused" if args.fused_conv1 else ""
     print(json.dumps({
-        "metric": f"descriptor_images_per_sec_per_chip_{args.height}x{args.width}_{args.dtype}_bs{best_bs}{conv1_suffix}",
+        "metric": f"descriptor_images_per_sec_per_chip_{args.height}x{args.width}_{args.dtype}_bs{best_bs}",
         "value": round(best, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(best / REFERENCE_GPU_IMG_PER_SEC, 2),

@@ -84,7 +84,6 @@ def vgg16_apply(
     compute_dtype=jnp.float32,
     cut_at_pooling: bool = False,
     valid_hw=None,
-    fused_conv1: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Forward pass.
 
@@ -126,27 +125,24 @@ def vgg16_apply(
     mask = None
     for name, _, _, relu, pool in VGG16_LAYERS:
         p = params[name]
-        if name == "conv1_1" and fused_conv1:
-            # Pallas row-band kernel for the 3-channel first layer (XLA pads
-            # its contraction to full lane width — 16% of forward time for
-            # 0.9% of FLOPs, scripts/profile_backbone.py). conv1_relu
-            # computes exactly conv+bias+ReLU and falls back to the XLA path
-            # off-TPU or past its VMEM budget; correct under valid_hw too
-            # (the mask re-zero below sees identical activations).
-            from openibl_tpu.ops.conv1_kernel import conv1_relu
-
-            x = conv1_relu(x, p["w"], p["b"])
-        else:
-            x = lax.conv_general_dilated(
-                x,
-                p["w"].astype(compute_dtype),
-                window_strides=(1, 1),
-                padding="SAME",
-                dimension_numbers=_CONV_DN,
-            )
-            x = x + p["b"].astype(compute_dtype)
-            if relu:
-                x = jnp.maximum(x, 0)
+        # conv1_1 (C_in=3) runs ~3x its bandwidth floor on XLA:TPU (16% of
+        # forward time for 0.9% of FLOPs) but stays on the XLA path: the
+        # 2026-08-18 on-chip mosaic_probe showed the Pallas alternative does
+        # not lower on this toolchain (stride-2 sublane pooling crashes the
+        # Mosaic compile helper AND a lane-padded K=3 dot returns wrong
+        # values) — measured verdict in docs/SCALING.md, probe in
+        # scripts/mosaic_probe.py. s2d/im2col/NCHW/channel-pad rewrites all
+        # measured slower (scripts/profile_backbone.py).
+        x = lax.conv_general_dilated(
+            x,
+            p["w"].astype(compute_dtype),
+            window_strides=(1, 1),
+            padding="SAME",
+            dimension_numbers=_CONV_DN,
+        )
+        x = x + p["b"].astype(compute_dtype)
+        if relu:
+            x = jnp.maximum(x, 0)
         if hw is not None:
             if mask is None:
                 mask = _extent_mask(hw, x.shape[1], x.shape[2])
@@ -204,9 +200,6 @@ class VGG16:
     cut_at_pooling: bool = False
     compute_dtype: object = jnp.float32
     feature_dim: int = FEATURE_DIM
-    # route conv1_1 through the Pallas row-band kernel (ops/conv1_kernel);
-    # pending the on-chip mosaic_probe verdict this defaults off
-    fused_conv1: bool = False
 
     def init(self, rng):
         return init_vgg16_params(rng)
@@ -217,7 +210,6 @@ class VGG16:
             images,
             compute_dtype=self.compute_dtype,
             cut_at_pooling=self.cut_at_pooling,
-            fused_conv1=self.fused_conv1,
         )
 
     def apply_masked(self, params, images, valid_hw):
@@ -228,7 +220,6 @@ class VGG16:
             compute_dtype=self.compute_dtype,
             cut_at_pooling=self.cut_at_pooling,
             valid_hw=valid_hw,
-            fused_conv1=self.fused_conv1,
         )
 
     def trainable_mask(self, params):

@@ -128,8 +128,7 @@ _netvlad_fused.defvjp(_fwd, _bwd)
 # normalized copy, logits + softmax (P,K), weights/centroids/output (C,K /
 # K,C x3). ~16 MB is the hardware budget; 12 MB leaves headroom for Mosaic's
 # own temporaries. Over budget (large eval resolutions) the mathematically
-# identical XLA head takes over instead of an opaque Mosaic compile error —
-# the same guarded-fallback pattern as conv1_kernel.conv1_relu.
+# identical XLA head takes over instead of an opaque Mosaic compile error.
 _VMEM_BUDGET_BYTES = 12 * 1024 * 1024
 
 

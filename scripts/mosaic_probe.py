@@ -5,14 +5,20 @@ pattern that a fused conv kernel would need; the output tells us which
 first-block conv strategy is implementable before we invest in it:
 
   p1  lane-dim concat of 3-wide channel slices -> 27-wide patch axis
-      (openibl_tpu/ops/conv1_kernel.py's im2col; CLAUDE.md says Mosaic
-      rejects this — confirm on the current toolchain)
+      (a conv1_1 im2col would need this)
   p2  lane-dim concat of 64-wide slices -> 576 (conv1_2 patch matrix)
   p3  sublane-dim slicing at +1/+2 offsets (halo reads for 3x3 taps)
   p4  sublane-dim stride-2 slicing (2x2 maxpool without relayout)
   p5  dot_general with K=3 (lane-padded contraction)
 
 Usage: python scripts/mosaic_probe.py            # runs all, prints a table
+
+VERDICT (real v5e chip, 2026-08-18, logs/tpu_collect_r04/mosaic_probe.out):
+p1/p2/p3 OK; p4 FAIL (Mosaic compile-helper crash); p5 compiles but returns
+WRONG VALUES; the full conv1 row-band kernel FAIL (compile crash). A Pallas
+first-block conv is therefore both uncompilable and numerically unsafe on
+this toolchain — ops/conv1_kernel.py was removed (this probe now SKIPs its
+final row) and conv1_1 stays on the XLA path; see docs/SCALING.md.
 """
 
 import functools

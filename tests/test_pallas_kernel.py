@@ -94,57 +94,3 @@ class TestFusedModels:
         )
 
 
-class TestConv1Kernel:
-    """Experimental conv1_1 im2col kernel (ops/conv1_kernel.py) — interpret
-    mode; real-MXU lowering is probed by scripts/mosaic_probe.py."""
-
-    def test_matches_xla_fwd_and_grad(self):
-        from openibl_tpu.ops.conv1_kernel import conv1_relu, _xla_path
-
-        rng = np.random.RandomState(0)
-        x = jnp.asarray(rng.randn(2, 48, 64, 3).astype(np.float32))
-        w = jnp.asarray(rng.randn(3, 3, 3, 64).astype(np.float32) * 0.1)
-        b = jnp.asarray(rng.randn(64).astype(np.float32))
-        ref = _xla_path(x, w, b)
-        got = conv1_relu(x, w, b, interpret=True)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                                   atol=1e-5)
-        g1 = jax.grad(lambda *a: conv1_relu(*a, interpret=True).sum(),
-                      argnums=(0, 1, 2))(x, w, b)
-        g2 = jax.grad(lambda *a: _xla_path(*a).sum(), argnums=(0, 1, 2))(
-            x, w, b)
-        for a, bb in zip(g1, g2):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
-                                       atol=1e-5)
-
-    def test_cpu_falls_back_to_xla(self):
-        from openibl_tpu.ops.conv1_kernel import conv1_relu, _xla_path
-
-        rng = np.random.RandomState(1)
-        x = jnp.asarray(rng.randn(1, 16, 24, 3).astype(np.float32))
-        w = jnp.asarray(rng.randn(3, 3, 3, 8).astype(np.float32))
-        b = jnp.zeros((8,), jnp.float32)
-        np.testing.assert_allclose(
-            np.asarray(conv1_relu(x, w, b)),  # off-TPU default: XLA path
-            np.asarray(_xla_path(x, w, b)),
-            atol=1e-6,
-        )
-
-    def test_vgg_fused_conv1_flag_matches_default(self):
-        """The VGG16(fused_conv1=True) wiring must be output-identical to
-        the default model (off-TPU conv1_relu falls back to XLA, so this
-        pins the plumbing, not the kernel — the kernel itself is pinned in
-        interpret mode above)."""
-        from openibl_tpu.models.vgg import VGG16
-
-        rng = np.random.RandomState(2)
-        x = jnp.asarray(rng.randn(1, 32, 48, 3).astype(np.float32) * 20)
-        plain = VGG16()
-        fused = VGG16(fused_conv1=True)
-        params = plain.init(jax.random.PRNGKey(0))
-        p_pool, p_map = plain.apply(params, x)
-        f_pool, f_map = fused.apply(params, x)
-        np.testing.assert_allclose(np.asarray(f_map), np.asarray(p_map),
-                                   atol=1e-6)
-        np.testing.assert_allclose(np.asarray(f_pool), np.asarray(p_pool),
-                                   atol=1e-6)
