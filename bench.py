@@ -56,11 +56,11 @@ def main():
                         "index probing this many of 256 cells per query "
                         "(ops.ivf) instead of the exact full-gallery scan")
     p.add_argument("--device-time", action="store_true",
-                   help="query metric only: report amortized per-query "
-                        "latency with many queries in flight (measures "
-                        "device throughput; the synchronous p50 sits on the "
-                        "tunnel's ~33 ms dispatch floor and says nothing "
-                        "about on-device headroom)")
+                   help="query metric only: report per-query DEVICE latency "
+                        "by scanning many queries inside one jit (single "
+                        "dispatch; the synchronous p50 sits on the tunnel's "
+                        "~33 ms dispatch floor and says nothing about "
+                        "on-device headroom)")
     p.add_argument("--verbose", action="store_true")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (code-path validation when "
@@ -167,26 +167,36 @@ def _bench_body(args):
 
         np.asarray(query(params, img, gallery)[1])  # compile + warm
         if args.device_time:
-            # Amortized per-query latency: enqueue many queries back to back
-            # and fence once at the end. Dispatch/tunnel round trips overlap
-            # device work (dispatch is async; np.asarray is the only fence on
-            # the tunneled platform), so this measures sustained device
-            # throughput rather than the ~33 ms per-dispatch floor that
-            # dominates the synchronous p50.
+            # Per-query DEVICE latency: run n distinct queries inside ONE
+            # jitted lax.scan, so a single dispatch covers all of them and
+            # the tunnel's ~33 ms per-dispatch floor amortizes to <1 ms/query.
+            # (Keeping multiple separate dispatches in flight was measured
+            # NOT to help — the axon client serializes dispatches, so a
+            # depth-9 pipeline still reported exactly the floor;
+            # logs/tpu_collect_r04/query_device.out.)
+            from jax import lax
+
             n = max(args.iters, 50)
-            depth = 9  # max queries in flight at once
+            imgs = jax.jit(
+                lambda k: jax.random.normal(
+                    k, (n, args.height, args.width, 3)) * 40
+            )(jax.random.PRNGKey(2))
+
+            @jax.jit
+            def query_scan(params, imgs, gallery):
+                def body(_, im):
+                    return 0, query(params, im[None], gallery)[1]
+
+                _, idxs = lax.scan(body, 0, imgs)
+                return idxs
+
+            np.asarray(query_scan(params, imgs, gallery))  # compile + warm
             t0 = time.perf_counter()
-            pending = []
-            for _ in range(n):
-                pending.append(query(params, img, gallery)[1])
-                if len(pending) >= depth:
-                    np.asarray(pending.pop(0))
-            for pr in pending:
-                np.asarray(pr)
+            np.asarray(query_scan(params, imgs, gallery))
             amort = (time.perf_counter() - t0) / n * 1000
             print(json.dumps({
-                "metric": (f"query_amortized_ms_{args.gallery_size}gallery"
-                           f"{ivf_suffix}_{n}iters_depth{depth}"),
+                "metric": (f"query_device_ms_{args.gallery_size}gallery"
+                           f"{ivf_suffix}_scan{n}"),
                 "value": round(amort, 2),
                 "unit": "ms",
                 "vs_baseline": round(REFERENCE_GPU_QUERY_MS / amort, 2),
