@@ -177,22 +177,26 @@ def _bench_body(args):
             from jax import lax
 
             n = max(args.iters, 50)
-            imgs = jax.jit(
-                lambda k: jax.random.normal(
-                    k, (n, args.height, args.width, 3)) * 40
-            )(jax.random.PRNGKey(2))
+            # each distinct query image is generated INSIDE the scan body
+            # from its fold_in'd key (O(1) HBM for any n; a materialized
+            # (n, H, W, 3) batch would be ~15 GB at n=4000 next to the
+            # 1.6 GB gallery). The per-step normal fill is ~4 MB of VPU
+            # writes — noise against the ~ms conv forward it precedes.
+            keys = jax.random.split(jax.random.PRNGKey(2), n)
 
             @jax.jit
-            def query_scan(params, imgs, gallery):
-                def body(_, im):
-                    return 0, query(params, im[None], gallery)[1]
+            def query_scan(params, keys, gallery):
+                def body(_, k):
+                    im = jax.random.normal(
+                        k, (1, args.height, args.width, 3)) * 40
+                    return 0, query(params, im, gallery)[1]
 
-                _, idxs = lax.scan(body, 0, imgs)
+                _, idxs = lax.scan(body, 0, keys)
                 return idxs
 
-            np.asarray(query_scan(params, imgs, gallery))  # compile + warm
+            np.asarray(query_scan(params, keys, gallery))  # compile + warm
             t0 = time.perf_counter()
-            np.asarray(query_scan(params, imgs, gallery))
+            np.asarray(query_scan(params, keys, gallery))
             amort = (time.perf_counter() - t0) / n * 1000
             print(json.dumps({
                 "metric": (f"query_device_ms_{args.gallery_size}gallery"
@@ -303,7 +307,7 @@ def _bench_body(args):
 
     model, params, fwd = build_extract_model()
     batches = [args.batch_size] if args.batch_size else (
-        [8, 16] if args.quick else [16, 32, 64, 128]
+        [8, 16] if args.quick else [16, 32, 64, 128, 192, 256]
     )
     best = 0.0
     best_bs = 0

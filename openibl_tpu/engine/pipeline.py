@@ -671,14 +671,11 @@ def run_eval(cfg, mesh=None, train_cfg=None, verbose=True):
     params = model.init(jax.random.PRNGKey(0))
     if cfg.checkpoint:
         if cfg.checkpoint.endswith((".pth", ".pth.tar")):
-            import torch
-
             from openibl_tpu.models import convert
 
-            # weights_only=True: plain tensor state dict, never opt into
-            # pickle execution for checkpoint files
-            state = torch.load(cfg.checkpoint, map_location="cpu",
-                               weights_only=True)
+            # weights-only load with a numpy-scalar allowlist fallback for
+            # reference full training checkpoints; never pickle execution
+            state = convert.load_torch_checkpoint(cfg.checkpoint)
             if isinstance(state, dict) and "state_dict" in state:
                 state = state["state_dict"]
             params = convert.embednet_params_from_torch(state)

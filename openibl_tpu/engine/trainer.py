@@ -77,9 +77,11 @@ def set_learning_rate(opt_state, lr):
             state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
             return True
         if isinstance(state, dict):
-            return any(visit(s) for s in state.values())
+            # no short-circuit: EVERY injected LR must be updated when the
+            # chain carries several (e.g. per-group inject_hyperparams)
+            return any([visit(s) for s in state.values()])
         if isinstance(state, tuple):
-            return any(visit(s) for s in state)
+            return any([visit(s) for s in state])
         found = False
         for attr in ("inner_state", "inner_states"):
             inner = getattr(state, attr, None)

@@ -100,13 +100,11 @@ def vgg16_netvlad(pretrained=None, num_clusters=64, pca_dim=4096,
             params, _ = load_checkpoint(pretrained, template, verbose=True)
             _require_loaded(params, template, pretrained)
     else:
-        import torch
-
         from openibl_tpu.models import convert
 
-        # weights_only=True: the consumed payload is a plain tensor state
-        # dict — never opt into full pickle execution for downloaded files
-        state = torch.load(pretrained, map_location="cpu", weights_only=True)
+        # weights-only load (never full pickle execution); falls back to a
+        # numpy-scalar allowlist for reference full training checkpoints
+        state = convert.load_torch_checkpoint(pretrained)
         if isinstance(state, dict) and "state_dict" in state:
             state = state["state_dict"]
         params = convert.embednetpca_params_from_torch(state)

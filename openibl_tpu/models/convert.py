@@ -28,6 +28,40 @@ TORCH_VGG16_CONV_INDEX = {
 }
 
 
+def load_torch_checkpoint(path):
+    """torch.load for checkpoint files without opting into pickle execution.
+
+    Plain tensor state dicts (the hub release) load under
+    ``weights_only=True`` directly. Reference-style FULL training checkpoints
+    additionally store metadata as numpy scalars (netvlad_img.py:201-204
+    saves ``best_recall5 = recalls[1]``, an np.float64 from
+    evaluators.py:160), which the weights-only unpickler rejects; retry under
+    ``safe_globals`` that allow exactly the numpy scalar-reconstruction
+    globals — still never arbitrary pickle execution.
+    """
+    import torch
+
+    try:
+        return torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        allow = [np.dtype, np.ndarray, np.float64, np.float32,
+                 np.int64, np.int32]
+        multiarray = getattr(np, "_core", np.core).multiarray
+        for name in ("scalar", "_reconstruct"):
+            fn = getattr(multiarray, name, None)
+            if fn is not None:
+                allow.append(fn)
+        try:  # numpy>=1.25 pickles dtypes via the numpy.dtypes classes
+            from numpy import dtypes as _np_dtypes
+
+            allow += [getattr(_np_dtypes, n) for n in dir(_np_dtypes)
+                      if n.endswith("DType")]
+        except ImportError:
+            pass
+        with torch.serialization.safe_globals(allow):
+            return torch.load(path, map_location="cpu", weights_only=True)
+
+
 def _to_np(v):
     # Accept torch tensors or numpy arrays without importing torch here.
     if hasattr(v, "detach"):

@@ -95,6 +95,21 @@ def _netvlad_fused(fmap, assign_w, centroids, normalize_input, postprocess,
     return vlad
 
 
+def _xla_head(fmap, assign_w, centroids, normalize_input, postprocess):
+    """The mathematically identical XLA head: provides this kernel's vjp AND
+    the over-VMEM-budget fallback (one definition so the two can't drift)."""
+    from openibl_tpu.models.netvlad import netvlad_apply, vlad_postprocess
+
+    vlad = netvlad_apply(
+        {"assign_w": assign_w, "centroids": centroids}, fmap,
+        normalize_input=normalize_input,
+    )
+    if postprocess:
+        n, k, c = vlad.shape
+        vlad = vlad_postprocess(vlad).reshape(n, k, c)
+    return vlad
+
+
 def _fwd(fmap, assign_w, centroids, normalize_input, postprocess, interpret):
     out = _netvlad_fused(fmap, assign_w, centroids, normalize_input,
                          postprocess, interpret)
@@ -106,16 +121,8 @@ def _bwd(normalize_input, postprocess, interpret, res, g):
     fmap, assign_w, centroids = res
 
     def xla_path(fmap, assign_w, centroids):
-        from openibl_tpu.models.netvlad import netvlad_apply, vlad_postprocess
-
-        vlad = netvlad_apply(
-            {"assign_w": assign_w, "centroids": centroids}, fmap,
-            normalize_input=normalize_input,
-        )
-        if postprocess:
-            n, k, c = vlad.shape
-            vlad = vlad_postprocess(vlad).reshape(n, k, c)
-        return vlad
+        return _xla_head(fmap, assign_w, centroids, normalize_input,
+                         postprocess)
 
     _, vjp = jax.vjp(xla_path, fmap, assign_w, centroids)
     return vjp(g)
@@ -151,15 +158,8 @@ def netvlad_fused(fmap, assign_w, centroids, *, normalize_input=True,
     n, h, w, c = fmap.shape
     k = assign_w.shape[1]
     if not interpret and _fused_vmem_bytes(h * w, c, k) > _VMEM_BUDGET_BYTES:
-        from openibl_tpu.models.netvlad import netvlad_apply, vlad_postprocess
-
-        vlad = netvlad_apply(
-            {"assign_w": assign_w, "centroids": centroids}, fmap,
-            normalize_input=normalize_input,
-        )
-        if postprocess:
-            vlad = vlad_postprocess(vlad).reshape(n, k, c)
-        return vlad
+        return _xla_head(fmap, assign_w, centroids, normalize_input,
+                         postprocess)
     return _netvlad_fused(
         jnp.asarray(fmap), jnp.asarray(assign_w, jnp.float32),
         jnp.asarray(centroids, jnp.float32), normalize_input, postprocess,

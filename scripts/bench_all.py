@@ -27,6 +27,8 @@ SUITE = [
     ("query_device", ["--metric", "query", "--device-time"]),
     ("query_ivf32", ["--metric", "query", "--iters", "30",
                      "--ivf-nprobe", "32"]),
+    ("query_ivf32_device", ["--metric", "query", "--device-time",
+                            "--ivf-nprobe", "32"]),
     ("train", ["--metric", "train"]),
     ("train_sfrs", ["--metric", "sfrs"]),
 ]

@@ -20,19 +20,18 @@ probe() { timeout 60 python -c "import jax; jax.devices()" >/dev/null 2>&1; }
 # Ordered per VERDICT r3 item 1 so a SHORT recovery window still yields the
 # flagship number: single bs128 extract first (r2 showed bs128 wins the
 # sweep), then train, then the honest device-time query, then the
-# mosaic probe that decides conv1_1, then the round-3 perf features
-# (fused conv1, IVF), then serving latency, sweeps, and profiles.
+# mosaic probe that decided conv1_1 (kernel since deleted), then the
+# round-3 IVF features, then serving latency, sweeps, and profiles.
 TASKS=(
   "bench_extract|1200|python -u bench.py --metric extract --batch-size 128"
   "bench_train|1200|python -u bench.py --metric train"
   "query_device|1200|python -u bench.py --metric query --device-time"
   "mosaic_probe|1200|python -u scripts/mosaic_probe.py"
-  "extract_conv1|1200|python -u bench.py --metric extract --batch-size 128 --fused-conv1"
   "bench_query|1200|python -u bench.py --metric query"
   "query_ivf32|1200|python -u bench.py --metric query --ivf-nprobe 32"
   "query_ivf32_device|1200|python -u bench.py --metric query --ivf-nprobe 32 --device-time"
   "serving_latency|2400|python -u scripts/bench_serving.py --out $OUT/serving_latency.json"
-  "selfcheck|1200|python -u scripts/tpu_selfcheck.py"
+  "selfcheck|1200|python -u scripts/tpu_selfcheck.py --round 4"
   "extract_sweep|1600|python -u bench.py --metric extract"
   "train_ts6|900|python -u bench.py --metric train --batch-size 6"
   "train_ts8|900|python -u bench.py --metric train --batch-size 8"

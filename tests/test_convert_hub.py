@@ -85,6 +85,26 @@ class TestConverter:
         assert desc.shape == (1, 32)
         np.testing.assert_allclose(np.linalg.norm(desc, axis=1), 1.0, rtol=1e-4)
 
+    def test_hub_loads_full_training_checkpoint_with_numpy_metadata(
+            self, rng, tmp_path):
+        """Reference FULL training checkpoints wrap the state dict with
+        numpy-scalar metadata (netvlad_img.py:201-204 saves best_recall5 =
+        recalls[1], an np.float64) — the weights-only unpickler rejects
+        those globals, so the loader must fall back to the numpy-scalar
+        allowlist rather than crash (round-4 review regression)."""
+        from openibl_tpu.hub import vgg16_netvlad
+
+        sd = _fake_released_state(rng)
+        path = str(tmp_path / "model_best.pth.tar")
+        torch.save({"state_dict": sd, "epoch": 3,
+                    "best_recall5": np.float64(0.5)}, path)
+        model, params = vgg16_netvlad(path, num_clusters=4, pca_dim=32)
+        x = jnp.asarray(rng.randn(1, 32, 48, 3).astype(np.float32) * 40)
+        desc = np.asarray(model.apply(params, x))
+        assert desc.shape == (1, 32)
+        np.testing.assert_allclose(np.linalg.norm(desc, axis=1), 1.0,
+                                   rtol=1e-4)
+
     def test_merge_params_tolerant(self, rng):
         target = {"a": jnp.zeros((2, 2)), "b": {"c": jnp.ones(3)}}
         source = {"a": np.full((2, 2), 5.0), "b": {"c": np.zeros(99)}}  # c mismatches

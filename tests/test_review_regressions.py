@@ -275,6 +275,38 @@ class TestRound4ReviewRegressions:
         assert abs(get_lr(new) - 5e-4) < 1e-9
         assert abs(get_lr(state) - 1e-3) < 1e-9, "snapshot mutated in place"
 
+    def test_set_learning_rate_updates_every_injected_lr(self):
+        """A chain carrying SEVERAL injected LRs (e.g. per-group
+        inject_hyperparams) must have them ALL updated — a short-circuiting
+        traversal silently leaves siblings on the stale rate."""
+        import optax
+
+        from openibl_tpu.engine.trainer import set_learning_rate
+
+        tx = optax.chain(
+            optax.inject_hyperparams(optax.sgd)(learning_rate=1e-3),
+            optax.inject_hyperparams(optax.scale_by_learning_rate)(
+                learning_rate=1e-2),
+        )
+        state = tx.init({"w": np.zeros(3, np.float32)})
+
+        def collect(s, out):
+            if hasattr(s, "hyperparams") and "learning_rate" in s.hyperparams:
+                out.append(float(s.hyperparams["learning_rate"]))
+            children = (s.values() if isinstance(s, dict)
+                        else s if isinstance(s, tuple) else [])
+            for c in children:
+                collect(c, out)
+            return out
+
+        np.testing.assert_allclose(collect(state, []), [1e-3, 1e-2],
+                                   rtol=1e-6)
+        new = set_learning_rate(state, 5e-4)
+        np.testing.assert_allclose(
+            collect(new, []), [5e-4, 5e-4], rtol=1e-6,
+            err_msg="every injected learning_rate must be rewritten",
+        )
+
     def test_color_jitter_all_zero_is_identity(self, rng):
         """Zero-range ops are skipped at trace time; all four disabled is an
         exact float32 identity (torchvision's skip semantics)."""
