@@ -21,8 +21,12 @@ import time
 ROOT = pathlib.Path(__file__).resolve().parent.parent
 
 SUITE = [
-    ("extract_fused", ["--metric", "extract"]),
-    ("extract_nofused", ["--metric", "extract", "--no-fused"]),
+    # bs128 pinned: the full batch sweep is the collector's own
+    # extract_sweep task; re-sweeping twice here would blow the suite's
+    # wall-clock budget on the tunneled chip
+    ("extract_fused", ["--metric", "extract", "--batch-size", "128"]),
+    ("extract_nofused", ["--metric", "extract", "--no-fused",
+                         "--batch-size", "128"]),
     ("query", ["--metric", "query", "--iters", "30"]),
     ("query_device", ["--metric", "query", "--device-time"]),
     ("query_ivf32", ["--metric", "query", "--iters", "30",
@@ -63,6 +67,9 @@ def main():
     ap.add_argument("--round", type=int, required=True)
     ap.add_argument("--only", type=str, default="",
                     help="comma-separated subset of suite names")
+    ap.add_argument("--force", action="store_true",
+                    help="re-run entries already captured with rc=0 "
+                         "(default: resume — skip them)")
     args = ap.parse_args()
 
     only = set(filter(None, args.only.split(",")))
@@ -73,22 +80,37 @@ def main():
         out = json.loads(path.read_text())
         out["ts"] = time.strftime("%Y-%m-%d %H:%M:%S")
 
+    path.parent.mkdir(exist_ok=True)
+
+    def flush():
+        # incremental + atomic after every entry: a timeout mid-suite (the
+        # tunneled chip can stretch any run) still leaves all completed
+        # entries on disk, and the next attempt can resume with --only
+        ef = out["entries"].get("extract_fused", {}).get("result")
+        en = out["entries"].get("extract_nofused", {}).get("result")
+        if ef and en and en["value"]:
+            out["fused_speedup"] = round(ef["value"] / en["value"], 3)
+        tmp = path.with_suffix(".json.tmp")
+        tmp.write_text(json.dumps(out, indent=2) + "\n")
+        tmp.replace(path)
+
     for name, extra in SUITE:
         if only and name not in only:
+            continue
+        prev = out["entries"].get(name)
+        if (not args.force and prev and prev.get("rc") == 0
+                and prev.get("result")):
+            print(f"[bench_all] {name}: already captured (resume); "
+                  f"--force to re-run", file=sys.stderr)
             continue
         print(f"[bench_all] {name}: bench.py {' '.join(extra)}",
               file=sys.stderr)
         out["entries"][name] = run_one(extra)
         print(f"[bench_all]   -> {out['entries'][name]['result']}",
               file=sys.stderr)
+        flush()
 
-    ef = out["entries"].get("extract_fused", {}).get("result")
-    en = out["entries"].get("extract_nofused", {}).get("result")
-    if ef and en and en["value"]:
-        out["fused_speedup"] = round(ef["value"] / en["value"], 3)
-
-    path.parent.mkdir(exist_ok=True)
-    path.write_text(json.dumps(out, indent=2) + "\n")
+    flush()
     print(json.dumps(out, indent=2))
 
 
