@@ -43,6 +43,11 @@ def main():
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--out", type=str,
                     default=str(ROOT / "logs" / "serving_latency.json"))
+    ap.add_argument("--variants", type=str,
+                    default="f32,f16,int8,ivf_f32",
+                    help="subset to measure; completed variants already in "
+                         "--out are skipped (resume), so a timed-out run "
+                         "can be finished by re-running")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -61,29 +66,8 @@ def main():
         print(f"[{time.perf_counter() - t_start:7.1f}s] {msg}",
               file=sys.stderr, flush=True)
 
-    rng = np.random.default_rng(0)
-    g = rng.standard_normal((args.gallery_size, args.dim), np.float32)
-    g /= np.linalg.norm(g, axis=1, keepdims=True)
-    stage("gallery built")
-
-    codes, scales = quantize_index_int8(g)
-    stage("int8 quantized")
-    # cheap coarse quantizer: this benchmark measures LATENCY, which depends
-    # only on the nlist/maxlen/nprobe shapes, not on centroid quality
-    ivf = build_ivf(g, nlist=args.ivf_nlist, iters=8, train_size=16384)
-    stage("ivf built")
-
-    variants = {
-        "f32": dict(index={"descriptors": g}),
-        "f16": dict(index={"descriptors": g.astype(np.float16)}),
-        "int8": dict(index={"descriptors": codes, "scales": scales}),
-        "ivf_f32": dict(
-            index={"descriptors": g, "ivf_centroids": ivf["centroids"],
-                   "ivf_lists": ivf["lists"]},
-            ivf_nprobe=args.ivf_nprobe,
-        ),
-    }
-
+    out = pathlib.Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
     results = {
         "gallery_size": args.gallery_size,
         "dim": args.dim,
@@ -93,8 +77,60 @@ def main():
         "ivf": {"nlist": args.ivf_nlist, "nprobe": args.ivf_nprobe},
         "variants": {},
     }
-    out = pathlib.Path(args.out)
-    out.parent.mkdir(parents=True, exist_ok=True)
+    if out.is_file():  # resume: keep rows a previous (timed-out) run made
+        try:
+            results["variants"] = json.loads(
+                out.read_text()).get("variants", {})
+        except (json.JSONDecodeError, OSError):
+            pass
+    wanted = [v for v in args.variants.split(",") if v]
+    todo = [v for v in wanted if v not in results["variants"]]
+    if not todo:
+        print(json.dumps({"artifact": str(out), "ok": True,
+                          "skipped": "all variants already captured"}))
+        return
+    stage(f"variants to measure: {todo} (resumed: "
+          f"{sorted(results['variants'])})")
+
+    # gallery content is irrelevant to LATENCY (top-k cost is
+    # data-independent) but generating 400M gaussians on this 1-core host
+    # takes ~8 minutes — make them on the device in ms and D2H once
+    import jax.numpy as jnp
+
+    @jax.jit
+    def _mk_gallery(key):
+        raw = jax.random.normal(key, (args.gallery_size, args.dim),
+                                jnp.float32)
+        return raw / jnp.linalg.norm(raw, axis=1, keepdims=True)
+
+    g = np.asarray(_mk_gallery(jax.random.PRNGKey(0)))
+    stage("gallery built (on device)")
+
+    variants = {"f32": lambda: dict(index={"descriptors": g}),
+                "f16": lambda: dict(
+                    index={"descriptors": g.astype(np.float16)})}
+
+    def _int8():
+        codes, scales = quantize_index_int8(g)
+        stage("int8 quantized")
+        return dict(index={"descriptors": codes, "scales": scales})
+
+    def _ivf():
+        # cheap coarse quantizer: latency depends only on the
+        # nlist/maxlen/nprobe shapes, not on centroid quality
+        ivf = build_ivf(g, nlist=args.ivf_nlist, iters=8, train_size=16384)
+        stage("ivf built")
+        return dict(
+            index={"descriptors": g, "ivf_centroids": ivf["centroids"],
+                   "ivf_lists": ivf["lists"]},
+            ivf_nprobe=args.ivf_nprobe,
+        )
+
+    variants["int8"] = _int8
+    variants["ivf_f32"] = _ivf
+    unknown = [v for v in todo if v not in variants]
+    if unknown:
+        raise SystemExit(f"unknown variants: {unknown}")
 
     def flush_artifact():
         # incremental + atomic: a timeout mid-suite still leaves every
@@ -103,7 +139,9 @@ def main():
         tmp.write_text(json.dumps(results, indent=1))
         tmp.replace(out)
 
-    for name, kw in variants.items():
+    rng = np.random.default_rng(1)  # query images only (tiny host work)
+    for name in todo:
+        kw = variants[name]()
         svc = RetrievalService(weights=None, height=args.height,
                                width=args.width, **kw)
         svc.warmup()
