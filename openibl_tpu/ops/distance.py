@@ -90,7 +90,8 @@ def quantize_index_int8(descriptors):
     jax.jit, static_argnames=("k", "chunk", "full_path", "return_rowmax")
 )
 def topk_nearest(query, gallery, k, chunk=4096, full_path=None,
-                 return_rowmax=False, gallery_scale=None):
+                 return_rowmax=False, gallery_scale=None,
+                 gallery_sqnorm=None):
     """k nearest gallery rows per query row by squared L2.
 
     Small problems (``full_path=None`` auto-selects by distmat size)
@@ -106,6 +107,12 @@ def topk_nearest(query, gallery, k, chunk=4096, full_path=None,
     full f32 copy of the index. An int8 index (quantize_index_int8)
     additionally passes its per-row ``gallery_scale`` (N,) f32; tiles are
     dequantized transiently the same way (quarter-width index in HBM).
+
+    ``gallery_sqnorm`` (N,) f32: squared L2 norms of the (dequantized)
+    gallery rows, precomputed ONCE at index load. Without it every call
+    recomputes the norms — a full extra pass over the gallery per request
+    on a serving path where the gallery never changes (measured on chip:
+    scripts/probe_index_paths.py).
     """
     q = jnp.asarray(query, jnp.float32)
     g = jnp.asarray(gallery)
@@ -119,7 +126,15 @@ def topk_nearest(query, gallery, k, chunk=4096, full_path=None,
         if gallery_scale is not None:
             g = g.astype(jnp.float32) * jnp.asarray(
                 gallery_scale, jnp.float32)[:, None]
-        d = pairwise_sqdist(q, g)
+        if gallery_sqnorm is None:
+            d = pairwise_sqdist(q, g)
+        else:
+            q2 = jnp.sum(jnp.square(q), axis=1, keepdims=True)
+            xy = jnp.dot(q, g.astype(jnp.float32).T,
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+            d = q2 + jnp.asarray(gallery_sqnorm, jnp.float32)[None, :] \
+                - 2.0 * xy
         neg_d, idx = jax.lax.top_k(-d, k)
         if return_rowmax:
             return -neg_d, idx, jnp.max(d, axis=1)
@@ -131,6 +146,9 @@ def topk_nearest(query, gallery, k, chunk=4096, full_path=None,
     if gallery_scale is not None:
         s_pad = jnp.pad(jnp.asarray(gallery_scale, jnp.float32), (0, pad))
         s_tiles = s_pad.reshape(n_chunks, chunk)
+    if gallery_sqnorm is not None:
+        n2_pad = jnp.pad(jnp.asarray(gallery_sqnorm, jnp.float32), (0, pad))
+        n2_tiles = n2_pad.reshape(n_chunks, chunk)
     q2 = jnp.sum(jnp.square(q), axis=1, keepdims=True)
 
     init_d = jnp.full((q.shape[0], k), jnp.inf, jnp.float32)
@@ -139,14 +157,17 @@ def topk_nearest(query, gallery, k, chunk=4096, full_path=None,
 
     def body(carry, inp):
         best_d, best_i, best_m = carry
-        if gallery_scale is not None:
-            tile, scale_tile, tile_start = inp
-        else:
-            tile, tile_start = inp
+        inp = list(inp)
+        tile, tile_start = inp[0], inp[-1]
+        scale_tile = inp[1] if gallery_scale is not None else None
+        n2_tile = inp[-2] if gallery_sqnorm is not None else None
         tile = tile.astype(jnp.float32)  # per-tile transient upcast
-        if gallery_scale is not None:
+        if scale_tile is not None:
             tile = tile * scale_tile[:, None]  # int8 dequant, f32 transient
-        t2 = jnp.sum(jnp.square(tile), axis=1)[None, :]
+        if n2_tile is None:
+            t2 = jnp.sum(jnp.square(tile), axis=1)[None, :]
+        else:
+            t2 = n2_tile[None, :]
         d = q2 + t2 - 2.0 * jnp.dot(
             q, tile.T, preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
@@ -164,11 +185,14 @@ def topk_nearest(query, gallery, k, chunk=4096, full_path=None,
         best_d, best_i = _merge_topk(best_d, best_i, -neg_d, tile_idx, k)
         return (best_d, best_i, best_m), None
 
-    starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
-    xs = ((g_tiles, s_tiles, starts) if gallery_scale is not None
-          else (g_tiles, starts))
+    xs = [g_tiles]
+    if gallery_scale is not None:
+        xs.append(s_tiles)
+    if gallery_sqnorm is not None:
+        xs.append(n2_tiles)
+    xs.append(jnp.arange(n_chunks, dtype=jnp.int32) * chunk)
     (best_d, best_i, best_m), _ = jax.lax.scan(
-        body, (init_d, init_i, init_m), xs
+        body, (init_d, init_i, init_m), tuple(xs)
     )
     if return_rowmax:
         return best_d, best_i, best_m
@@ -260,7 +284,7 @@ _SHARDED_TOPK_CACHE = {}
 
 
 def topk_nearest_sharded(query, gallery, mesh, k, axis="data", chunk=4096,
-                         gallery_scale=None):
+                         gallery_scale=None, gallery_sqnorm=None):
     """k nearest neighbors with the gallery sharded over the mesh.
 
     The TPU-native answer to the reference's gather-everything eval
@@ -276,6 +300,8 @@ def topk_nearest_sharded(query, gallery, mesh, k, axis="data", chunk=4096,
         pad with +inf-distance rows via zero vectors beforehand if needed).
       gallery_scale: optional (G,) per-row dequant scales for an int8
         gallery (quantize_index_int8), sharded like the gallery.
+      gallery_sqnorm: optional (G,) precomputed squared row norms (see
+        topk_nearest), sharded like the gallery.
     Returns:
       (dists (Q, k), global indices (Q, k)), fully replicated.
     """
@@ -285,19 +311,26 @@ def topk_nearest_sharded(query, gallery, mesh, k, axis="data", chunk=4096,
         raise ValueError(f"gallery size {g_total} not divisible by {n_dev}")
     per = g_total // n_dev
 
-    cache_key = (mesh, axis, k, chunk, per, gallery_scale is not None)
+    cache_key = (mesh, axis, k, chunk, per, gallery_scale is not None,
+                 gallery_sqnorm is not None)
     jitted = _SHARDED_TOPK_CACHE.get(cache_key)
     if jitted is None:
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
         k_local = min(k, per)
+        has_scale = gallery_scale is not None
+        has_norm = gallery_sqnorm is not None
 
-        def local_topk(q, g_shard, s_shard=None):
+        def local_topk(q, g_shard, *rest):
             # g_shard: (per, D) this device's shard
+            rest = list(rest)
+            s_shard = rest.pop(0) if has_scale else None
+            n_shard = rest.pop(0) if has_norm else None
             d, idx = topk_nearest(q, g_shard, k=k_local,
                                   chunk=min(chunk, per),
-                                  gallery_scale=s_shard)
+                                  gallery_scale=s_shard,
+                                  gallery_sqnorm=n_shard)
             shard_id = jax.lax.axis_index(axis)
             idx = idx + shard_id * per  # globalize
             # merge across devices: all_gather candidates, final top-k
@@ -313,6 +346,8 @@ def topk_nearest_sharded(query, gallery, mesh, k, axis="data", chunk=4096,
         in_specs = [P(), P(axis, None)]
         if gallery_scale is not None:
             in_specs.append(P(axis))
+        if gallery_sqnorm is not None:
+            in_specs.append(P(axis))
         jitted = jax.jit(shard_map(
             local_topk,
             mesh=mesh,
@@ -325,6 +360,8 @@ def topk_nearest_sharded(query, gallery, mesh, k, axis="data", chunk=4096,
     args = [jnp.asarray(query, jnp.float32), jnp.asarray(gallery)]
     if gallery_scale is not None:
         args.append(jnp.asarray(gallery_scale, jnp.float32))
+    if gallery_sqnorm is not None:
+        args.append(jnp.asarray(gallery_sqnorm, jnp.float32))
     # gallery keeps its storage dtype (fp16 shards stay half-width, int8
     # quarter-width; topk_nearest upcasts/dequantizes per tile inside each
     # shard)

@@ -147,7 +147,7 @@ def fill_lists(ranked, nlist, maxlen, x=None, centroids=None):
 
 @functools.partial(jax.jit, static_argnames=("k", "nprobe"))
 def ivf_search(query, gallery, centroids, lists, k, nprobe,
-               gallery_scale=None):
+               gallery_scale=None, gallery_sqnorm=None):
     """Approximate k nearest gallery rows via the ``nprobe`` nearest cells.
 
     query (Q, D) f32; gallery (N, D) in storage dtype (f32/f16/bf16/int8 —
@@ -156,6 +156,18 @@ def ivf_search(query, gallery, centroids, lists, k, nprobe,
     (Q, k)); unfilled result slots (fewer than k candidates probed) are
     (inf, -1). Exact squared-L2 distances on the probed subset — identical
     values to topk_nearest, just over fewer candidates.
+
+    ``gallery_sqnorm`` (N,) f32: precomputed squared norms of the
+    (dequantized) rows; probed tiles then gather norms instead of
+    recomputing them from the gathered rows (see
+    ops.distance.topk_nearest).
+
+    NOTE batched-query cost: each query gathers its OWN nprobe cells, so
+    probe traffic is Q * nprobe * maxlen rows — past Q*nprobe*maxlen ≈ N a
+    single shared full scan (topk_nearest) is both exact AND cheaper
+    (measured 4x at Q=16, nprobe=32 on a 100k gallery:
+    logs/tpu_collect_r04/serving_latency.json). Serving auto-routes on
+    exactly this inequality (serving.RetrievalService).
     """
     q = jnp.asarray(query, jnp.float32)
     g = jnp.asarray(gallery)
@@ -190,7 +202,12 @@ def ivf_search(query, gallery, centroids, lists, k, nprobe,
                          safe.reshape(-1))
             rows = rows * s[:, None]
         rows = rows.reshape(ids.shape + (g.shape[1],))  # (Q, maxlen, D)
-        d = (q2 + jnp.sum(jnp.square(rows), axis=2)
+        if gallery_sqnorm is not None:
+            t2 = jnp.take(jnp.asarray(gallery_sqnorm, jnp.float32),
+                          safe.reshape(-1)).reshape(ids.shape)
+        else:
+            t2 = jnp.sum(jnp.square(rows), axis=2)
+        d = (q2 + t2
              - 2.0 * jnp.einsum(
                  "qd,qmd->qm", q, rows,
                  preferred_element_type=jnp.float32,

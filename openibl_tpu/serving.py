@@ -23,6 +23,34 @@ import numpy as np
 _BATCH_BUCKETS = (1, 4, 16)
 
 
+def _row_sqnorms(gallery, scales=None, chunk=8192):
+    """Squared L2 norms of the (dequantized) index rows, one pass at load.
+
+    Chunked so an int8 index is never widened whole on the host. Serving
+    passes these to every search call — without them each request recomputes
+    the norms, a full extra pass over an index that never changes
+    (ops.distance.topk_nearest gallery_sqnorm)."""
+    out = np.empty(gallery.shape[0], np.float32)
+    for s in range(0, gallery.shape[0], chunk):
+        t = np.asarray(gallery[s : s + chunk], np.float32)
+        n2 = np.einsum("nd,nd->n", t, t)
+        if scales is not None:
+            n2 = n2 * np.square(np.asarray(scales[s : s + chunk], np.float32))
+        out[s : s + chunk] = n2
+    return out
+
+
+def _ivf_beats_exact(batch, nprobe, maxlen, index_size):
+    """Whether per-query IVF probing moves less data than one shared scan.
+
+    Each query gathers its own nprobe cells (ops.ivf.ivf_search), so probe
+    traffic is batch * nprobe * maxlen gallery rows; the exact streaming
+    scan reads the index ONCE for the whole batch. Measured on chip at
+    Q=16, nprobe=32, 100k gallery: routing to exact is 4x faster AND exact
+    (logs/tpu_collect_r04/serving_latency.json before this fix)."""
+    return batch * nprobe * maxlen < index_size
+
+
 class RetrievalService:
     """Thread-safe query service over a fixed descriptor index.
 
@@ -43,7 +71,9 @@ class RetrievalService:
         in the index — index_and_query.py build --ivf-nlist). 0 = exact
         search. Approximate: cuts per-query HBM traffic ~nlist/nprobe.
         Single-device only (ignored with a loud warning under a mesh —
-        the sharded path stays exact).
+        the sharded path stays exact). Batches large enough that per-query
+        probing would read MORE than the whole index auto-route to the
+        exact scan (strictly faster and exact — see _ivf_beats_exact).
     """
 
     def __init__(self, index, weights=None, height=480, width=640,
@@ -112,6 +142,8 @@ class RetrievalService:
                 "with index_and_query.py build --ivf-nlist"
             )
 
+        sqnorms = _row_sqnorms(gallery, scales)
+
         if mesh is not None:
             # shard the index over the mesh's data axis; zero-pad to a
             # divisible size (zero rows rank last for L2-normalized queries
@@ -132,19 +164,22 @@ class RetrievalService:
                     scales = np.concatenate(
                         [scales, np.zeros(pad, np.float32)]
                     )
+                sqnorms = np.concatenate([sqnorms, np.zeros(pad, np.float32)])
             # device_put the HOST array with the sharding directly: each
             # shard transfers to its own device, so device 0 never stages
             # the full index (the point of sharding a large one)
             self._gallery = jax.device_put(gallery, data_sharding(mesh, 2))
             self._scale = (None if scales is None else
                            jax.device_put(scales, data_sharding(mesh, 1)))
+            self._sqnorm = jax.device_put(sqnorms, data_sharding(mesh, 1))
             fwd = jax.jit(self._model.apply)
 
             def retrieve(desc, gallery, scale, k):
                 # fetch enough candidates to survive dropping padded rows
                 d, i = topk_nearest_sharded(desc, gallery, mesh,
                                             k=min(k + pad, gallery.shape[0]),
-                                            gallery_scale=scale)
+                                            gallery_scale=scale,
+                                            gallery_sqnorm=self._sqnorm)
                 valid = i < self.index_size
                 d = jnp.where(valid, d, jnp.inf)
                 order = jnp.argsort(d, axis=1)[:, :k]
@@ -165,11 +200,17 @@ class RetrievalService:
         else:
             self._gallery = jnp.asarray(gallery)  # HBM-resident, one device
             self._scale = None if scales is None else jnp.asarray(scales)
+            self._sqnorm = jnp.asarray(sqnorms)
             # forward and top-k are separate jits on purpose: k is a static
             # arg, and a fused program would recompile the whole conv stack
             # for every new topk a client sends (tens of seconds, under the
             # request lock); split, only the small top-k program respecializes
             fwd = jax.jit(self._model.apply)
+
+            def exact(desc, gallery, k):
+                return topk_nearest(desc, gallery, k=k,
+                                    gallery_scale=self._scale,
+                                    gallery_sqnorm=self._sqnorm)
 
             if self.ivf_nprobe:
                 from openibl_tpu.ops.ivf import ivf_search
@@ -177,16 +218,23 @@ class RetrievalService:
                 self._ivf_centroids = jnp.asarray(
                     index["ivf_centroids"], jnp.float32)
                 self._ivf_lists = jnp.asarray(index["ivf_lists"], jnp.int32)
+                maxlen = self._ivf_lists.shape[1]
 
                 def run(params, images, gallery, k):
-                    return ivf_search(fwd(params, images), gallery,
+                    desc = fwd(params, images)
+                    # per-bucket routing: IVF only while probing moves less
+                    # data than one shared exact scan of the index
+                    if not _ivf_beats_exact(images.shape[0], self.ivf_nprobe,
+                                            maxlen, self.index_size):
+                        return exact(desc, gallery, k)
+                    return ivf_search(desc, gallery,
                                       self._ivf_centroids, self._ivf_lists,
                                       k=k, nprobe=self.ivf_nprobe,
-                                      gallery_scale=self._scale)
+                                      gallery_scale=self._scale,
+                                      gallery_sqnorm=self._sqnorm)
             else:
                 def run(params, images, gallery, k):
-                    return topk_nearest(fwd(params, images), gallery, k=k,
-                                        gallery_scale=self._scale)
+                    return exact(fwd(params, images), gallery, k)
 
             self._run = run
 

@@ -142,3 +142,37 @@ class TestRecallOnModelDescriptors:
         # the curve is monotone non-decreasing in nprobe
         vals = [curve[p] for p in sorted(curve)]
         assert all(a <= b + 1e-9 for a, b in zip(vals, vals[1:])), curve
+
+
+class TestGallerySqnormIVF:
+    def test_sqnorm_matches_computed(self, rng):
+        """Precomputed row norms (gathered per probed tile) must reproduce
+        the computed-norm results exactly — f32 and int8 galleries."""
+        g = _clustered_gallery(rng)
+        q = g[::37] + rng.randn(len(g[::37]), g.shape[1]).astype(
+            np.float32) * 0.01
+        ivf = build_ivf(g, nlist=16, iters=10, seed=0)
+        n2 = np.einsum("nd,nd->n", g, g)
+        for nprobe in (2, 16):
+            d0, i0 = ivf_search(jnp.asarray(q), jnp.asarray(g),
+                                ivf["centroids"], ivf["lists"],
+                                k=5, nprobe=nprobe)
+            d1, i1 = ivf_search(jnp.asarray(q), jnp.asarray(g),
+                                ivf["centroids"], ivf["lists"],
+                                k=5, nprobe=nprobe,
+                                gallery_sqnorm=jnp.asarray(n2))
+            np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+            np.testing.assert_allclose(np.asarray(d0), np.asarray(d1),
+                                       atol=1e-5)
+        codes, scales = quantize_index_int8(g)
+        gd = codes.astype(np.float32) * scales[:, None]
+        n2q = np.einsum("nd,nd->n", gd, gd)
+        d2, i2 = ivf_search(jnp.asarray(q), jnp.asarray(codes),
+                            ivf["centroids"], ivf["lists"], k=5, nprobe=4,
+                            gallery_scale=scales)
+        d3, i3 = ivf_search(jnp.asarray(q), jnp.asarray(codes),
+                            ivf["centroids"], ivf["lists"], k=5, nprobe=4,
+                            gallery_scale=scales,
+                            gallery_sqnorm=jnp.asarray(n2q))
+        np.testing.assert_array_equal(np.asarray(i2), np.asarray(i3))
+        np.testing.assert_allclose(np.asarray(d2), np.asarray(d3), atol=1e-5)

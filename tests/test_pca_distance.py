@@ -259,3 +259,61 @@ class TestReducedPrecisionGallery:
         assert not _auto_full_path(1, n, d, gallery_widened=True)
         # small quantized galleries still take the (faster) full path
         assert _auto_full_path(1, 10_000, 64, gallery_widened=True)
+
+
+class TestGallerySqnorm:
+    """Precomputed gallery squared norms (serving passes them so each
+    request skips a full norm pass over a fixed index) must not change any
+    result — both paths, plain/int8/rowmax."""
+
+    def test_matches_computed_norms_all_paths(self):
+        import jax.numpy as jnp
+        from openibl_tpu.ops.distance import quantize_index_int8, topk_nearest
+
+        rng = np.random.RandomState(21)
+        g = rng.randn(300, 64).astype(np.float32)
+        g /= np.linalg.norm(g, axis=1, keepdims=True)
+        q = rng.randn(4, 64).astype(np.float32)
+        n2 = np.einsum("nd,nd->n", g, g)
+        codes, scales = quantize_index_int8(g)
+        gd = codes.astype(np.float32) * scales[:, None]
+        n2q = np.einsum("nd,nd->n", gd, gd)
+        for full in (True, False):
+            d0, i0 = topk_nearest(jnp.asarray(q), jnp.asarray(g), k=7,
+                                  chunk=128, full_path=full)
+            d1, i1 = topk_nearest(jnp.asarray(q), jnp.asarray(g), k=7,
+                                  chunk=128, full_path=full,
+                                  gallery_sqnorm=jnp.asarray(n2))
+            np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+            np.testing.assert_allclose(np.asarray(d0), np.asarray(d1),
+                                       atol=1e-5)
+            d2, i2 = topk_nearest(jnp.asarray(q), jnp.asarray(codes), k=7,
+                                  chunk=128, full_path=full,
+                                  gallery_scale=scales,
+                                  gallery_sqnorm=jnp.asarray(n2q))
+            d3, i3 = topk_nearest(jnp.asarray(q), jnp.asarray(codes), k=7,
+                                  chunk=128, full_path=full,
+                                  gallery_scale=scales)
+            np.testing.assert_array_equal(np.asarray(i2), np.asarray(i3))
+            np.testing.assert_allclose(np.asarray(d2), np.asarray(d3),
+                                       atol=1e-5)
+
+    def test_rowmax_with_norms(self):
+        """return_rowmax (the streaming rerank dependency) must see the same
+        whole-gallery max when norms are precomputed."""
+        import jax.numpy as jnp
+        from openibl_tpu.ops.distance import topk_nearest
+
+        rng = np.random.RandomState(22)
+        g = rng.randn(130, 32).astype(np.float32)
+        q = rng.randn(3, 32).astype(np.float32)
+        n2 = np.einsum("nd,nd->n", g, g)
+        d0, i0, m0 = topk_nearest(jnp.asarray(q), jnp.asarray(g), k=5,
+                                  chunk=64, full_path=False,
+                                  return_rowmax=True)
+        d1, i1, m1 = topk_nearest(jnp.asarray(q), jnp.asarray(g), k=5,
+                                  chunk=64, full_path=False,
+                                  return_rowmax=True,
+                                  gallery_sqnorm=jnp.asarray(n2))
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+        np.testing.assert_allclose(np.asarray(m0), np.asarray(m1), atol=1e-5)

@@ -172,6 +172,54 @@ class TestRetrievalService:
                 height=32, width=48, batch_buckets=(1,), ivf_nprobe=2,
             )
 
+    def test_ivf_batch_routing_predicate(self):
+        """Per-query IVF probing reads batch*nprobe*maxlen rows; the exact
+        scan reads the index once for the whole batch. The router must flip
+        to exact exactly when probing stops being cheaper (measured 4x
+        regression at bs16 on chip before this fix —
+        logs/tpu_collect_r04/serving_latency.json)."""
+        from openibl_tpu.serving import _ivf_beats_exact
+
+        # round-4 chip scenario: 100k gallery, nlist=256 -> maxlen 782
+        assert _ivf_beats_exact(1, 32, 782, 100_000)
+        assert not _ivf_beats_exact(4, 32, 782, 100_000)
+        assert not _ivf_beats_exact(16, 32, 782, 100_000)
+        # small nprobe keeps IVF winning at larger batches
+        assert _ivf_beats_exact(16, 4, 782, 100_000 * 10)
+
+    def test_ivf_exact_routed_bucket_matches_exact_service(self):
+        """A batch routed to the exact scan must return bit-identical
+        results to a no-IVF service (same weights)."""
+        import jax
+
+        from openibl_tpu.ops.ivf import build_ivf
+        from openibl_tpu.serving import _ivf_beats_exact
+
+        rng = np.random.RandomState(14)
+        gallery = rng.randn(48, 4096).astype(np.float32)
+        gallery /= np.linalg.norm(gallery, axis=1, keepdims=True)
+        ivf = build_ivf(gallery, nlist=4, iters=5, seed=0)
+        maxlen = np.asarray(ivf["lists"]).shape[1]
+        imgs = [rng.randint(0, 256, (32, 48, 3), np.uint8)
+                for _ in range(4)]
+
+        approx = RetrievalService(
+            {"descriptors": gallery, "ivf_centroids": ivf["centroids"],
+             "ivf_lists": ivf["lists"]},
+            height=32, width=48, batch_buckets=(1, 4), ivf_nprobe=2,
+        )
+        exact = RetrievalService({"descriptors": gallery},
+                                 height=32, width=48, batch_buckets=(1, 4))
+        # share weights (both random inits otherwise)
+        exact._params = jax.tree.map(lambda _, b: b, exact._params,
+                                     approx._params)
+        # the 4-image bucket must be past the routing threshold here
+        assert not _ivf_beats_exact(4, 2, maxlen, 48)
+        a = approx.query(imgs, topk=5)
+        b = exact.query(imgs, topk=5)
+        assert [[m["index"] for m in row] for row in a] == \
+               [[m["index"] for m in row] for row in b]
+
 
 class TestMeshServing:
     def test_sharded_index_matches_single_device(self):

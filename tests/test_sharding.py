@@ -260,3 +260,34 @@ def test_evaluate_descriptors_sharded_gallery(rng):
     r_single = evaluate_descriptors(q, g, gt, topk=(1, 5), print_results=False)
     np.testing.assert_allclose(r_sharded, r_single)
     np.testing.assert_allclose(r_sharded, [1.0, 1.0])
+
+
+def test_topk_sharded_sqnorm_matches(rng):
+    """Precomputed sharded row norms (serving threads them per shard) must
+    not change the sharded kNN result — plain and int8 galleries."""
+    from openibl_tpu.ops.distance import (
+        quantize_index_int8, topk_nearest_sharded,
+    )
+
+    q = rng.randn(5, 16).astype(np.float32)
+    g = rng.randn(64, 16).astype(np.float32)
+    n2 = np.einsum("nd,nd->n", g, g)
+    mesh = get_mesh()
+    d0, i0 = topk_nearest_sharded(jnp.asarray(q), jnp.asarray(g), mesh, k=7,
+                                  chunk=4)
+    d1, i1 = topk_nearest_sharded(jnp.asarray(q), jnp.asarray(g), mesh, k=7,
+                                  chunk=4, gallery_sqnorm=n2)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1),
+                               rtol=1e-5, atol=1e-5)
+    codes, scales = quantize_index_int8(g)
+    gd = codes.astype(np.float32) * scales[:, None]
+    n2q = np.einsum("nd,nd->n", gd, gd)
+    d2, i2 = topk_nearest_sharded(jnp.asarray(q), jnp.asarray(codes), mesh,
+                                  k=7, chunk=4, gallery_scale=scales)
+    d3, i3 = topk_nearest_sharded(jnp.asarray(q), jnp.asarray(codes), mesh,
+                                  k=7, chunk=4, gallery_scale=scales,
+                                  gallery_sqnorm=n2q)
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(i3))
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d3),
+                               rtol=1e-5, atol=1e-5)
