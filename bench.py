@@ -43,6 +43,12 @@ def main():
                    choices=["float32", "bfloat16"])
     p.add_argument("--no-fused", action="store_true",
                    help="disable the fused Pallas NetVLAD head")
+    p.add_argument("--int8", action="store_true",
+                   help="extract metric only: post-training-quantized "
+                        "backbone (mixed bf16/int8, ops/quant.py) — the "
+                        "MXU's int8 path runs ~2x bf16; the probe-measured "
+                        "per-layer win is 1.2-1.4x on the conv2-conv4 "
+                        "blocks (scripts/int8_probe.py)")
     p.add_argument("--metric", type=str, default="extract",
                    choices=["extract", "query", "train", "sfrs"],
                    help="extract = images/sec/chip; query = end-to-end "
@@ -117,6 +123,15 @@ def _bench_body(args):
             pca_dim=4096,
         )
         params = model.init(jax.random.PRNGKey(0))
+        if args.int8:
+            from openibl_tpu.ops.quant import quantize_model_params
+
+            calib = jax.jit(
+                lambda k: jax.random.normal(
+                    k, (8, args.height, args.width, 3)
+                ) * 40
+            )(jax.random.PRNGKey(7))
+            model, params = quantize_model_params(model, params, calib)
         return model, params, jax.jit(model.apply)
 
     if args.metric == "query":
@@ -354,8 +369,9 @@ def _bench_body(args):
         print("bench: no batch size completed (persistent device failure)",
               file=sys.stderr, flush=True)
         sys.exit(1)
+    qtag = "_int8" if args.int8 else ""
     print(json.dumps({
-        "metric": f"descriptor_images_per_sec_per_chip_{args.height}x{args.width}_{args.dtype}_bs{best_bs}",
+        "metric": f"descriptor_images_per_sec_per_chip_{args.height}x{args.width}_{args.dtype}{qtag}_bs{best_bs}",
         "value": round(best, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(best / REFERENCE_GPU_IMG_PER_SEC, 2),

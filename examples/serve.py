@@ -87,6 +87,11 @@ def main():
                    help=">0 probes only that many IVF cells per query "
                         "(approximate, ~nlist/nprobe less HBM traffic; "
                         "index must be built with --ivf-nlist)")
+    p.add_argument("--quant-backbone", action="store_true",
+                   help="run the conv backbone mixed bf16/int8 "
+                        "(openibl_tpu/ops/quant.py; descriptor cosine vs "
+                        "f32 >0.999, conv blocks 1.2-1.4x faster on the "
+                        "MXU int8 path)")
     args = p.parse_args()
 
     from openibl_tpu.serving import RetrievalService
@@ -100,7 +105,8 @@ def main():
                                height=args.height, width=args.width,
                                mesh=mesh, quantize_int8=args.int8,
                                ivf_nprobe=args.ivf_nprobe,
-                               pca_params=args.pca_params)
+                               pca_params=args.pca_params,
+                               quant_backbone=args.quant_backbone)
     print(f"warming {len(service.buckets)} batch buckets over "
           f"{service.index_size}-image index ...")
     service.warmup()

@@ -74,11 +74,14 @@ class RetrievalService:
         the sharded path stays exact). Batches large enough that per-query
         probing would read MORE than the whole index auto-route to the
         exact scan (strictly faster and exact — see _ivf_beats_exact).
+      quant_backbone: run the conv backbone mixed bf16/int8 (ops/quant.py);
+        calib_images optionally supplies representative calibration frames.
     """
 
     def __init__(self, index, weights=None, height=480, width=640,
                  batch_buckets=_BATCH_BUCKETS, mesh=None,
-                 quantize_int8=False, ivf_nprobe=0, pca_params=None):
+                 quantize_int8=False, ivf_nprobe=0, pca_params=None,
+                 quant_backbone=False, calib_images=None):
         import jax
         import jax.numpy as jnp
 
@@ -123,6 +126,22 @@ class RetrievalService:
         self.buckets = tuple(sorted(batch_buckets))
         self._model, self._params = vgg16_netvlad(weights,
                                                   pca_params=pca_params)
+        if quant_backbone:
+            # mixed bf16/int8 backbone (ops/quant.py): ~1.2-1.4x faster conv
+            # blocks on the MXU's int8 path; descriptor cosine vs f32 >0.999
+            # (tests/test_quant.py). calib_images (N, H, W, 3) uint8/float
+            # should be a few REPRESENTATIVE frames; the fallback calibrates
+            # on random pixels, which is safe (scales bound post-ReLU maxima)
+            # but mildly looser than real-scene statistics.
+            from openibl_tpu.ops.quant import quantize_model_params
+
+            if calib_images is None:
+                calib_images = np.random.RandomState(0).randint(
+                    0, 256, (4, height, width, 3), dtype=np.uint8
+                )
+            self._model, self._params = quantize_model_params(
+                self._model, self._params, jnp.asarray(calib_images)
+            )
         self._lock = threading.Lock()  # serialize device work per process
         self.mesh = mesh
 

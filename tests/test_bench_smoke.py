@@ -43,6 +43,8 @@ def _run_bench(argv, capsys):
      "--device-time"],
     ["--metric", "sfrs", "--batch-size", "1", "--iters", "3",
      "--height", "64", "--width", "64", "--dtype", "float32"],
+    ["--batch-size", "2", "--iters", "2", "--height", "64", "--width", "64",
+     "--dtype", "float32", "--int8"],
 ])
 def test_bench_emits_json(metric_args, capsys):
     payload = _run_bench(metric_args, capsys)

@@ -220,6 +220,29 @@ class TestRetrievalService:
         assert [[m["index"] for m in row] for row in a] == \
                [[m["index"] for m in row] for row in b]
 
+    def test_quant_backbone_service(self):
+        """quant_backbone=True serves end-to-end: the backbone runs mixed
+        bf16/int8 (ops/quant.py), queries return full result rows, and the
+        service stays deterministic. Descriptor-level fidelity vs f32 is
+        pinned separately in tests/test_quant.py (retrieval agreement on
+        model-generated galleries — the meaningful case; this gallery is
+        random so cross-service rank equality is not asserted)."""
+        rng = np.random.RandomState(21)
+        gallery = rng.randn(16, 4096).astype(np.float32)
+        gallery /= np.linalg.norm(gallery, axis=1, keepdims=True)
+        svc = RetrievalService(
+            {"descriptors": gallery}, height=32, width=48,
+            batch_buckets=(1,), quant_backbone=True,
+        )
+        img = rng.randint(0, 256, (32, 48, 3), np.uint8)
+        res = svc.query([img], topk=5)
+        assert len(res[0]) == 5
+        assert all(0 <= m["index"] < 16 for m in res[0])
+        again = svc.query([img], topk=5)
+        assert [m["index"] for m in res[0]] == [m["index"] for m in again[0]]
+        # the quantized tree really is int8 where it should be
+        assert str(svc._params["base"]["conv4_2"]["wq"].dtype) == "int8"
+
 
 class TestMeshServing:
     def test_sharded_index_matches_single_device(self):
