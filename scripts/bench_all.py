@@ -24,8 +24,12 @@ SUITE = [
     # bs128 pinned: the full batch sweep is the collector's own
     # extract_sweep task; re-sweeping twice here would blow the suite's
     # wall-clock budget on the tunneled chip
-    ("extract_fused", ["--metric", "extract", "--batch-size", "128"]),
-    ("extract_nofused", ["--metric", "extract", "--no-fused",
+    # int8 is the TPU default since 2026-08-19 (ops/quant.py; _int8 metric
+    # tag); the bf16 rows keep the historical comparison alive
+    ("extract_int8", ["--metric", "extract", "--batch-size", "128"]),
+    ("extract_fused", ["--metric", "extract", "--no-int8",
+                       "--batch-size", "128"]),
+    ("extract_nofused", ["--metric", "extract", "--no-int8", "--no-fused",
                          "--batch-size", "128"]),
     ("query", ["--metric", "query", "--iters", "30"]),
     ("query_device", ["--metric", "query", "--device-time"]),
@@ -90,6 +94,9 @@ def main():
         en = out["entries"].get("extract_nofused", {}).get("result")
         if ef and en and en["value"]:
             out["fused_speedup"] = round(ef["value"] / en["value"], 3)
+        ei = out["entries"].get("extract_int8", {}).get("result")
+        if ei and ef and ef["value"]:
+            out["int8_speedup"] = round(ei["value"] / ef["value"], 3)
         tmp = path.with_suffix(".json.tmp")
         tmp.write_text(json.dumps(out, indent=2) + "\n")
         tmp.replace(path)
