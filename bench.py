@@ -6,8 +6,13 @@ baseline constant below is an estimate of the reference stack's per-GPU rate
 (torch VGG16+NetVLAD fp32 at 480x640 on the 11GB-class GPUs it documents,
 docs/REPRODUCTION.md:5-7): ~50 img/s.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+Prints ONE JSON line per measured mode:
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N,
+   "tflops": N, "mfu": N}
+The default TPU extract run emits TWO lines — pure bf16 and mixed bf16/int8
+(quantized names carry an _int8 tag) — so the cross-round flagship series
+stays apples-to-apples (VERDICT r4). "mfu" is achieved/peak dense matmul
+throughput with FLOPs = 2*MACs on both sides (v5e bf16 peak 197 TFLOP/s).
 """
 
 import argparse
@@ -30,6 +35,43 @@ REFERENCE_GPU_QUERY_MS = 40.0
 # backward over two of them ~ 1.4x its baseline step -> ~0.5 tuples/s
 REFERENCE_GPU_SFRS_TUPLES_PER_SEC = 0.5
 
+# v5e peak dense matmul throughput (one MXU chip): 197 TFLOP/s bf16,
+# 394 TOP/s int8 — the denominators for the MFU field. FLOPs are counted
+# with the standard 2*MAC convention (multiply + accumulate), the same
+# convention those peak numbers use.
+V5E_PEAK_BF16_FLOPS = 197e12
+V5E_PEAK_INT8_OPS = 394e12
+
+
+def vgg16_netvlad_flops(height, width):
+    """Analytic forward FLOPs/image (2*MACs) of VGG16-conv5 + NetVLAD + PCA.
+
+    The conv stack is ~99.7% of the work (187.9 GFLOP at 480x640); the head
+    adds the 1x1 soft-assign conv, the factorized VLAD accumulation
+    (models/netvlad.py) and the 32768->4096 PCA matmul (~0.6 GFLOP).
+    Returns (total, per_stage) where per_stage maps conv block -> FLOPs —
+    the roofline split in docs/SCALING.md is derived from it.
+    """
+    blocks = [  # VGG16 conv blocks to conv5_3 (pool follows all but 5)
+        [(3, 64), (64, 64)],
+        [(64, 128), (128, 128)],
+        [(128, 256), (256, 256), (256, 256)],
+        [(256, 512), (512, 512), (512, 512)],
+        [(512, 512), (512, 512), (512, 512)],
+    ]
+    per_stage = {}
+    h, w = height, width
+    for bi, block in enumerate(blocks, start=1):
+        fl = sum(2 * h * w * cin * cout * 9 for cin, cout in block)
+        per_stage[f"conv{bi}"] = fl
+        h, w = h // 2, w // 2  # pool1..4 halve; pool5 absent (cut at conv5)
+    npix = (height // 16) * (width // 16)
+    head = (2 * npix * 512 * 64      # soft-assignment logits (1x1 conv)
+            + 2 * npix * 512 * 64    # factorized VLAD accumulation
+            + 2 * 64 * 512 * 4096)   # PCA projection 32768 -> 4096
+    per_stage["head"] = head
+    return sum(per_stage.values()), per_stage
+
 
 def main():
     p = argparse.ArgumentParser()
@@ -44,13 +86,14 @@ def main():
     p.add_argument("--no-fused", action="store_true",
                    help="disable the fused Pallas NetVLAD head")
     p.add_argument("--int8", action="store_true", default=None,
-                   help="extract metric only: post-training-quantized "
-                        "backbone (mixed bf16/int8, ops/quant.py) — the "
-                        "MXU's int8 path runs ~2x bf16; measured 1.30x end "
-                        "to end (1002 vs 770 img/s, descriptor cosine vs "
-                        "f32 >0.999, tests/test_quant.py). DEFAULT on TPU; "
-                        "--no-int8 reverts to pure bf16. The metric name "
-                        "carries an _int8 tag either way")
+                   help="extract metric only: run ONLY the post-training-"
+                        "quantized backbone (mixed bf16/int8, ops/quant.py) "
+                        "— the MXU's int8 path runs ~2x bf16; measured 1.30x "
+                        "end to end (1002 vs 770 img/s, descriptor cosine vs "
+                        "f32 >0.999, tests/test_quant.py). Quantized metric "
+                        "names carry an _int8 tag; plain ones don't. "
+                        "DEFAULT on TPU is BOTH: one bf16 line then one int8 "
+                        "line, so the cross-round series stays comparable")
     p.add_argument("--no-int8", dest="int8", action="store_false",
                    help="disable the quantized backbone (pure bf16 extract)")
     p.add_argument("--metric", type=str, default="extract",
@@ -118,14 +161,26 @@ def _bench_body(args):
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     fused = jax.default_backend() == "tpu" and not args.no_fused
-    if args.int8 is None:
-        # int8 auto-default: only where it wins (the TPU MXU int8 path);
-        # CPU int8 convs are reference-slow and would stall smoke tests
-        args.int8 = jax.default_backend() == "tpu" and args.metric == "extract"
+    if args.int8 is not None and args.metric != "extract":
+        # an explicit --int8/--no-int8 with a non-extract metric would be
+        # silently ignored (ADVICE r4) — reject instead
+        print(f"--int8/--no-int8 applies to --metric extract only "
+              f"(got --metric {args.metric})", file=sys.stderr)
+        sys.exit(2)
+    if args.metric == "extract":
+        if args.int8 is None:
+            # default on TPU: BOTH modes, one JSON line each (the flagship
+            # series stays apples-to-apples across rounds — VERDICT r4 weak
+            # #3); CPU int8 convs are reference-slow and would stall smoke
+            # tests, so CPU smoke runs bf16 only
+            extract_modes = ([False, True]
+                             if jax.default_backend() == "tpu" else [False])
+        else:
+            extract_modes = [bool(args.int8)]
     else:
-        args.int8 = bool(args.int8) and args.metric == "extract"
+        extract_modes = [False]
 
-    def build_extract_model():
+    def build_extract_model(quantized):
         model = models.create(
             "embednetpca",
             base=models.VGG16(compute_dtype=dtype),
@@ -133,7 +188,7 @@ def _bench_body(args):
             pca_dim=4096,
         )
         params = model.init(jax.random.PRNGKey(0))
-        if args.int8:
+        if quantized:
             from openibl_tpu.ops.quant import quantize_model_params
 
             calib = jax.jit(
@@ -145,7 +200,7 @@ def _bench_body(args):
         return model, params, jax.jit(model.apply)
 
     if args.metric == "query":
-        model, params, fwd = build_extract_model()
+        model, params, fwd = build_extract_model(False)
         # end-to-end query path: one 480x640 image -> 4096-d descriptor ->
         # top-10 against an HBM-resident gallery (the serving-latency shape)
         from openibl_tpu.ops.distance import topk_nearest
@@ -174,8 +229,15 @@ def _bench_body(args):
             maxlen = -(-2 * args.gallery_size // nlist)
             centroids = gallery[:nlist]
             _, ranked = topk_nearest(gallery, centroids, k=8)
+            # pass geometry so overflow rows spill to their NEAREST open
+            # cell exactly like the shipped build_ivf (VERDICT r4 weak #2 —
+            # without it the benched index's recall characteristics silently
+            # differ from ops.ivf.build_ivf's). The device gallery is passed
+            # as-is: fill_lists gathers ONLY the overflow rows, so the 1.6GB
+            # gallery never crosses the tunnel.
             lists = jnp.asarray(
-                fill_lists(np.asarray(ranked), nlist, maxlen))
+                fill_lists(np.asarray(ranked), nlist, maxlen,
+                           x=gallery, centroids=np.asarray(centroids)))
             nprobe = min(args.ivf_nprobe, nlist)
             ivf_suffix = f"_ivf{nprobe}of{nlist}"
 
@@ -330,66 +392,85 @@ def _bench_body(args):
         }))
         return
 
-    model, params, fwd = build_extract_model()
-    batches = [args.batch_size] if args.batch_size else (
-        [8, 16] if args.quick else (
-            # int8 conv at bs>=192 crashes the axon tpu_compile_helper
-            # (measured 2026-08-19); bs128 wins the sweep in both modes
-            [16, 32, 64, 128] if args.int8 else [16, 32, 64, 128, 192, 256]
-        )
-    )
-    best = 0.0
-    best_bs = 0
+    flops_per_img, _ = vgg16_netvlad_flops(args.height, args.width)
     rng = np.random.RandomState(0)
-    for bs in batches:
-        x = jnp.asarray(
-            rng.randn(bs, args.height, args.width, 3).astype(np.float32) * 40
+    any_line = False
+    for quantized in extract_modes:
+        model, params, fwd = build_extract_model(quantized)
+        batches = [args.batch_size] if args.batch_size else (
+            [8, 16] if args.quick else (
+                # int8 conv at bs>=192 crashes the axon tpu_compile_helper
+                # (scripts/int8_probe.py --bs192; logs/int8_bs192_crash.log);
+                # bs128 wins the sweep in both modes anyway
+                [16, 32, 64, 128] if quantized
+                else [16, 32, 64, 128, 192, 256]
+            )
         )
-        def run_once():
-            # NB: on the tunneled TPU platform block_until_ready is a no-op;
-            # np.asarray materialization is the only reliable fence. Keep two
-            # batches in flight so dispatch/D2H overlaps compute (sustained-
-            # throughput shape; +40% over fully synchronous timing).
-            np.asarray(fwd(params, x))  # compile + warm
-            t0 = time.perf_counter()
-            pending = []
-            for _ in range(args.iters):
-                pending.append(fwd(params, x))
-                if len(pending) > 2:
-                    np.asarray(pending.pop(0))
-            for p in pending:
-                np.asarray(p)
-            return time.perf_counter() - t0
+        best = 0.0
+        best_bs = 0
+        for bs in batches:
+            x = jnp.asarray(
+                rng.randn(bs, args.height, args.width, 3)
+                .astype(np.float32) * 40
+            )
 
-        try:
+            def run_once():
+                # NB: on the tunneled TPU platform block_until_ready is a
+                # no-op; np.asarray materialization is the only reliable
+                # fence. Keep two batches in flight so dispatch/D2H overlaps
+                # compute (sustained-throughput shape; +40% over fully
+                # synchronous timing).
+                np.asarray(fwd(params, x))  # compile + warm
+                t0 = time.perf_counter()
+                pending = []
+                for _ in range(args.iters):
+                    pending.append(fwd(params, x))
+                    if len(pending) > 2:
+                        np.asarray(pending.pop(0))
+                for p in pending:
+                    np.asarray(p)
+                return time.perf_counter() - t0
+
             try:
-                dt = run_once()
-            except Exception:  # transient tunnel errors happen; retry once
-                dt = run_once()
-        except Exception as e:  # persistent failure (e.g. OOM at large batch)
+                try:
+                    dt = run_once()
+                except Exception:  # transient tunnel errors; retry once
+                    dt = run_once()
+            except Exception as e:  # persistent failure (e.g. OOM)
+                if args.verbose:
+                    print(f"batch {bs}: {type(e).__name__}: {str(e)[:200]}",
+                          file=sys.stderr)
+                break
+            rate = bs * args.iters / dt
             if args.verbose:
-                print(f"batch {bs}: {type(e).__name__}: {str(e)[:200]}",
-                      file=sys.stderr)
-            break
-        rate = bs * args.iters / dt
-        if args.verbose:
-            print(f"batch {bs}: {rate:.1f} img/s", file=sys.stderr)
-        if rate > best:
-            best, best_bs = rate, bs
+                tag = "int8 " if quantized else ""
+                print(f"{tag}batch {bs}: {rate:.1f} img/s", file=sys.stderr)
+            if rate > best:
+                best, best_bs = rate, bs
 
-    if best_bs == 0:
-        # every batch size failed persistently: a 0.0 img/s "success" would
-        # be recorded by automation as a valid benchmark — fail loudly
-        print("bench: no batch size completed (persistent device failure)",
-              file=sys.stderr, flush=True)
+        if best_bs == 0:
+            # every batch size failed persistently: a 0.0 img/s "success"
+            # would be recorded by automation as a valid benchmark
+            print("bench: no batch size completed (persistent device "
+                  "failure)", file=sys.stderr, flush=True)
+            continue
+        any_line = True
+        qtag = "_int8" if quantized else ""
+        # MFU vs the chip's bf16 matmul peak (2*MAC FLOP convention on both
+        # sides). For the mixed bf16/int8 mode the true ceiling is higher
+        # (int8 layers run against the 394 TOP/s path), so its "mfu" is a
+        # lower bound — docs/SCALING.md carries the per-precision split.
+        tflops = best * flops_per_img / 1e12
+        print(json.dumps({
+            "metric": f"descriptor_images_per_sec_per_chip_{args.height}x{args.width}_{args.dtype}{qtag}_bs{best_bs}",
+            "value": round(best, 2),
+            "unit": "images/sec/chip",
+            "vs_baseline": round(best / REFERENCE_GPU_IMG_PER_SEC, 2),
+            "tflops": round(tflops, 1),
+            "mfu": round(tflops * 1e12 / V5E_PEAK_BF16_FLOPS, 3),
+        }), flush=True)
+    if not any_line:
         sys.exit(1)
-    qtag = "_int8" if args.int8 else ""
-    print(json.dumps({
-        "metric": f"descriptor_images_per_sec_per_chip_{args.height}x{args.width}_{args.dtype}{qtag}_bs{best_bs}",
-        "value": round(best, 2),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(best / REFERENCE_GPU_IMG_PER_SEC, 2),
-    }))
 
 
 if __name__ == "__main__":

@@ -48,22 +48,66 @@ def _merge_topk(dist_a, idx_a, dist_b, idx_b, k):
 # distmat (d, its negation, top-k workspace), so this bounds peak to ~1.5GB.
 _FULL_DISTMAT_BUDGET_BYTES = 512 * 1024**2
 
+# Separate, much larger budget for the TRANSIENT f32 widening of a
+# reduced-precision (f16/bf16/int8) gallery on the full path. Round-4 chip
+# data (logs/tpu_collect_r04/serving_latency.json) showed that lumping the
+# widening into the 512MB distmat budget forced a 100k x 4096 f16/int8 index
+# (1.6GB widened — trivially placeable in 16GB HBM) onto the streaming scan,
+# where bs16 serving was 2-2.5x SLOWER than f32: the formats that exist to
+# make serving cheaper made it slower. The widened copy is a one-off
+# transient next to the resident index, so it only needs to FIT, not be
+# small; 4GB (~1/4 of v5e HBM) leaves room for the resident index, the
+# distmat, and the model. Override with OPENIBL_WIDEN_BUDGET_BYTES for
+# bigger/smaller-HBM parts (the axon tunnel's memory_stats() is empty, so
+# the budget cannot be queried from the device).
+_WIDEN_BUDGET_BYTES = None  # resolved lazily; tests may monkeypatch
+
+
+def _widen_budget_bytes():
+    if _WIDEN_BUDGET_BYTES is not None:
+        return _WIDEN_BUDGET_BYTES
+    import os
+
+    env = os.environ.get("OPENIBL_WIDEN_BUDGET_BYTES")
+    if env:
+        return int(env)
+    try:  # real backends report HBM; widen into a quarter of what's free
+        stats = jax.local_devices()[0].memory_stats() or {}
+        free = stats["bytes_limit"] - stats.get("bytes_in_use", 0)
+        return max(free // 4, 256 * 1024**2)
+    except Exception:
+        return 4 * 1024**3
+
 
 def _auto_full_path(q_rows, n, feat_dim, gallery_widened):
     """Whether topk_nearest should materialize the full distance matrix.
 
-    Counts BOTH the f32 distmat AND — for reduced-precision galleries
-    (f16/bf16/int8 indexes) — the full-width f32 gallery copy the full path
-    would materialize. Without the second term a quarter-width int8 index
-    would be silently dequantized whole on exactly the small-Q serving path
-    the quantized index exists for (worst case: OOM on a ~4GB int8 index
-    whose f32 widening exceeds HBM); the streaming path dequantizes per tile
-    and never holds the widened copy.
+    Two budgets: the f32 distmat itself (512MB — above that the streaming
+    scan's O(Q*k) state wins) and, for reduced-precision galleries
+    (f16/bf16/int8 indexes), the transient full-width f32 copy the full path
+    materializes (HBM-scale — it only has to fit; see _WIDEN_BUDGET_BYTES).
+    Without the second budget a quarter-width int8 index whose f32 widening
+    exceeds HBM (~4GB codes -> 16GB f32) would OOM on exactly the small-Q
+    serving path the quantized index exists for; the streaming path
+    dequantizes per tile and never holds the widened copy.
     """
-    cost = 4 * q_rows * n
-    if gallery_widened:
-        cost += 4 * n * feat_dim
-    return cost <= _FULL_DISTMAT_BUDGET_BYTES
+    if 4 * q_rows * n > _FULL_DISTMAT_BUDGET_BYTES:
+        return False
+    if gallery_widened and 4 * n * feat_dim > _widen_budget_bytes():
+        return False
+    return True
+
+
+# streaming-path tile sizing: each scan step upcasts/dequantizes one
+# (chunk, D) f32 tile transiently. Small tiles make small-Q serving
+# dispatch/merge-dominated (25 steps of 16x4096 @ 4096x4096 matmuls); the
+# tile target keeps the step count low while bounding the transient.
+_STREAM_TILE_BYTES = 256 * 1024**2
+
+
+def _auto_chunk(n, feat_dim):
+    rows = _STREAM_TILE_BYTES // max(4 * feat_dim, 1)
+    return int(min(max(rows, 4096), max(n, 1)))
 
 
 def quantize_index_int8(descriptors):
@@ -89,17 +133,21 @@ def quantize_index_int8(descriptors):
 @functools.partial(
     jax.jit, static_argnames=("k", "chunk", "full_path", "return_rowmax")
 )
-def topk_nearest(query, gallery, k, chunk=4096, full_path=None,
+def topk_nearest(query, gallery, k, chunk=None, full_path=None,
                  return_rowmax=False, gallery_scale=None,
                  gallery_sqnorm=None):
     """k nearest gallery rows per query row by squared L2.
 
-    Small problems (``full_path=None`` auto-selects by distmat size)
+    Small problems (``full_path=None`` auto-selects by distmat size AND, for
+    reduced-precision galleries, the widening budget — see _auto_full_path)
     materialize the full distance matrix and run one top-k; large ones scan
     the gallery in ``chunk``-sized tiles merging a running top-k —
-    HBM-resident gallery, O(Q*k) state. Returns (dists (Q,k), indices (Q,k));
-    with ``return_rowmax`` additionally the per-query max distance over the
-    WHOLE gallery (needed by the streaming rerank's row normalization).
+    HBM-resident gallery, O(Q*k) state. ``chunk=None`` auto-sizes the tile
+    to ~256MB f32 (keeps the scan short — measured on chip that 4096-row
+    tiles make small-Q serving merge-dominated). Returns (dists (Q,k),
+    indices (Q,k)); with ``return_rowmax`` additionally the per-query max
+    distance over the WHOLE gallery (needed by the streaming rerank's row
+    normalization).
 
     A reduced-precision gallery (float16/bfloat16 — e.g. a half-memory
     serving index) stays in its storage dtype on the streaming path; each
@@ -118,6 +166,8 @@ def topk_nearest(query, gallery, k, chunk=4096, full_path=None,
     g = jnp.asarray(gallery)
     n = g.shape[0]
     k = min(k, n)
+    if chunk is None:
+        chunk = _auto_chunk(n, g.shape[1])
 
     if full_path is None:
         widened = gallery_scale is not None or g.dtype != jnp.float32
@@ -283,7 +333,7 @@ def mine_hard_tuples_ranked(q_feats, g_feats, pos_idx, cand_idx, neg_num=10,
 _SHARDED_TOPK_CACHE = {}
 
 
-def topk_nearest_sharded(query, gallery, mesh, k, axis="data", chunk=4096,
+def topk_nearest_sharded(query, gallery, mesh, k, axis="data", chunk=None,
                          gallery_scale=None, gallery_sqnorm=None):
     """k nearest neighbors with the gallery sharded over the mesh.
 
@@ -328,7 +378,8 @@ def topk_nearest_sharded(query, gallery, mesh, k, axis="data", chunk=4096,
             s_shard = rest.pop(0) if has_scale else None
             n_shard = rest.pop(0) if has_norm else None
             d, idx = topk_nearest(q, g_shard, k=k_local,
-                                  chunk=min(chunk, per),
+                                  chunk=(None if chunk is None
+                                         else min(chunk, per)),
                                   gallery_scale=s_shard,
                                   gallery_sqnorm=n_shard)
             shard_id = jax.lax.axis_index(axis)

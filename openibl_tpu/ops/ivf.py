@@ -90,7 +90,9 @@ def fill_lists(ranked, nlist, maxlen, x=None, centroids=None):
     arbitrary open cell makes overflow rows near-unreachable at low nprobe —
     a silent recall loss concentrated exactly on the dense regions that
     overflow); without geometry they take the first open cell. A warning
-    reports the overflow count either way.
+    reports the overflow count either way. ``x`` may be a DEVICE array:
+    only the overflow rows are gathered/transferred (bench.py passes its
+    HBM-resident gallery directly so it never crosses the tunnel whole).
     """
     n = ranked.shape[0]
     if nlist * maxlen < n:
