@@ -53,6 +53,9 @@ class TrainConfig:
     remat: bool = False  # rematerialize backbone activations in backward
     device_jitter: bool = False  # ColorJitter on device (ops/augment.py)
     # instead of host PIL — same distribution, frees few-core TPU hosts
+    augment: bool = True  # False disables ColorJitter entirely (host AND
+    # device) — deterministic train-time pixels for ablations and the
+    # dual-stack pipeline oracle (tests/test_pipeline_oracle.py)
 
     @property
     def margin(self):

@@ -185,14 +185,22 @@ def eval_view(model):
     )
 
 
+def _use_device_jitter(cfg):
+    return (getattr(cfg, "device_jitter", False)
+            and getattr(cfg, "augment", True))
+
+
 def make_sources(cfg, dataset):
     # uint8 images, mean subtraction on device: 4x less H2D traffic.
     # The jitter stream is seeded (and re-seeded per subset in the training
     # loops) so runs are reproducible and resumes bit-faithful. With
     # device_jitter the host pipeline skips PIL jitter entirely — the train
-    # step augments on the chip (ops/augment.py).
+    # step augments on the chip (ops/augment.py). augment=False turns
+    # ColorJitter off on BOTH sides (deterministic train pixels).
     train_tf = TrainTransform(cfg.data.height, cfg.data.width,
-                              jitter=not getattr(cfg, "device_jitter", False),
+                              jitter=(getattr(cfg, "augment", True)
+                                      and not getattr(cfg, "device_jitter",
+                                                      False)),
                               device_normalize=True, seed=cfg.seed)
     test_tf = TestTransform(cfg.data.height, cfg.data.width,
                             device_normalize=True)
@@ -246,7 +254,7 @@ def run_baseline_training(cfg, mesh=None, verbose=True, timer=None):
         momentum=cfg.momentum, weight_decay=cfg.weight_decay, mesh=mesh,
         use_pool_feature=not getattr(cfg, "use_vlad", True),
         remat=getattr(cfg, "remat", False),
-        device_jitter=getattr(cfg, "device_jitter", False),
+        device_jitter=_use_device_jitter(cfg),
     )
     trainer.check_batch_shape(cfg.tuple_size)
     opt_state = trainer.init(params)
@@ -454,7 +462,7 @@ def run_sfrs_training(cfg, mesh=None, verbose=True, timer=None):
         neg_num=cfg.neg_num, lr=cfg.lr, momentum=cfg.momentum,
         weight_decay=cfg.weight_decay, mesh=mesh,
         remat=getattr(cfg, "remat", False),
-        device_jitter=getattr(cfg, "device_jitter", False),
+        device_jitter=_use_device_jitter(cfg),
     )
 
     trainer.check_batch_shape(cfg.tuple_size)

@@ -297,8 +297,14 @@ def quantize_model_params(model, params, calib_images, *, base=None):
     Returns (quant_model, quant_params): the same composite model with its
     backbone swapped for QuantVGG16 and the matching param tree. The VLAD /
     PCA subtrees are shared by reference (they stay f32)."""
+    # propagate every behavior-bearing backbone field, not just the compute
+    # dtype — a composite built with cut_at_pooling=True (or a nonstandard
+    # feature_dim) must not silently change shape/behavior after
+    # quantization (ADVICE r4)
     base = base or QuantVGG16(
-        compute_dtype=getattr(model.base, "compute_dtype", jnp.bfloat16)
+        compute_dtype=getattr(model.base, "compute_dtype", jnp.bfloat16),
+        cut_at_pooling=getattr(model.base, "cut_at_pooling", False),
+        feature_dim=getattr(model.base, "feature_dim", 512),
     )
     qtree = dict(params)
     qtree["base"] = base.quantize(params["base"], calib_images)

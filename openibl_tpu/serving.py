@@ -130,12 +130,25 @@ class RetrievalService:
             # mixed bf16/int8 backbone (ops/quant.py): ~1.2-1.4x faster conv
             # blocks on the MXU's int8 path; descriptor cosine vs f32 >0.999
             # (tests/test_quant.py). calib_images (N, H, W, 3) uint8/float
-            # should be a few REPRESENTATIVE frames; the fallback calibrates
-            # on random pixels, which is safe (scales bound post-ReLU maxima)
-            # but mildly looser than real-scene statistics.
+            # should be a few REPRESENTATIVE frames: activation scales are
+            # per-tensor maxima, and deep VGG activations on structured
+            # natural scenes (edges matching trained filters) can exceed
+            # those on random noise — noise-calibrated scales may CLIP real
+            # queries and silently degrade descriptors beyond the tested
+            # fidelity gates (ADVICE r4).
             from openibl_tpu.ops.quant import quantize_model_params
 
             if calib_images is None:
+                import warnings
+
+                warnings.warn(
+                    "quant_backbone=True without calib_images: calibrating "
+                    "activation scales on random noise. Real-scene "
+                    "activations can exceed noise-derived maxima and clip; "
+                    "pass a few representative frames as calib_images for "
+                    "production indexes",
+                    stacklevel=2,
+                )
                 calib_images = np.random.RandomState(0).randint(
                     0, 256, (4, height, width, 3), dtype=np.uint8
                 )

@@ -170,3 +170,41 @@ def test_embednetpca_composition(setup):
 def test_init_raises():
     with pytest.raises(NotImplementedError):
         QuantVGG16().init(jax.random.PRNGKey(0))
+
+
+def test_quantize_model_params_propagates_backbone_fields():
+    """quantize_model_params must carry cut_at_pooling/feature_dim (and the
+    compute dtype) from the source backbone into QuantVGG16 — a composite
+    built on a cut_at_pooling backbone must not change behavior after
+    quantization (ADVICE r4)."""
+    from openibl_tpu import models
+    from openibl_tpu.ops.quant import quantize_model_params
+
+    base = models.VGG16(compute_dtype=jnp.float32, cut_at_pooling=True)
+    model = models.create(
+        "embednet", base=base,
+        net_vlad=models.NetVLAD(num_clusters=4),
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    calib = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 48, 3)) * 40
+    qmodel, _ = quantize_model_params(model, params, calib)
+    assert qmodel.base.cut_at_pooling is True
+    assert qmodel.base.feature_dim == base.feature_dim
+    assert qmodel.base.compute_dtype == jnp.float32
+
+
+def test_serving_noise_calibration_warns(tmp_path):
+    """RetrievalService(quant_backbone=True) without calib_images must warn
+    that activation scales come from random noise (ADVICE r4)."""
+    import warnings
+
+    from openibl_tpu.serving import RetrievalService
+
+    rng = np.random.RandomState(0)
+    g = rng.randn(8, 4096).astype(np.float32)
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        RetrievalService({"descriptors": g}, height=32, width=48,
+                         quant_backbone=True)
+    assert any("calib_images" in str(x.message) for x in w)
