@@ -173,18 +173,27 @@ def topk_nearest(query, gallery, k, chunk=None, full_path=None,
         widened = gallery_scale is not None or g.dtype != jnp.float32
         full_path = _auto_full_path(q.shape[0], n, g.shape[1], widened)
     if full_path:
+        # Reduced-precision galleries are never widened wholesale here: the
+        # f32 convert feeds the dot directly (XLA fuses it into the matmul
+        # tiling), and int8 per-row scales apply to the dot's OUTPUT columns
+        # — (q·codes)·s == q·(codes·s) — so the only full-width arrays are
+        # the (Q, N) distmat and (with gallery_sqnorm precomputed at index
+        # load, as serving does) nothing else. Measured on chip: the
+        # materialized widen cost every f16/int8 request a full extra
+        # gallery write+read vs f32 (logs/tpu_collect_r05).
+        q2 = jnp.sum(jnp.square(q), axis=1, keepdims=True)
+        xy = jnp.dot(q, g.astype(jnp.float32).T,
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
         if gallery_scale is not None:
-            g = g.astype(jnp.float32) * jnp.asarray(
-                gallery_scale, jnp.float32)[:, None]
+            xy = xy * jnp.asarray(gallery_scale, jnp.float32)[None, :]
         if gallery_sqnorm is None:
-            d = pairwise_sqdist(q, g)
+            n2 = jnp.sum(jnp.square(g.astype(jnp.float32)), axis=1)
+            if gallery_scale is not None:
+                n2 = n2 * jnp.square(jnp.asarray(gallery_scale, jnp.float32))
         else:
-            q2 = jnp.sum(jnp.square(q), axis=1, keepdims=True)
-            xy = jnp.dot(q, g.astype(jnp.float32).T,
-                         preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)
-            d = q2 + jnp.asarray(gallery_sqnorm, jnp.float32)[None, :] \
-                - 2.0 * xy
+            n2 = jnp.asarray(gallery_sqnorm, jnp.float32)
+        d = q2 + n2[None, :] - 2.0 * xy
         neg_d, idx = jax.lax.top_k(-d, k)
         if return_rowmax:
             return -neg_d, idx, jnp.max(d, axis=1)
