@@ -513,8 +513,14 @@ def run_sfrs_training(cfg, mesh=None, verbose=True, timer=None):
 
         for epoch in range(start_epoch, cfg.epochs):
             sampler.set_epoch(cfg.seed + epoch)
-            opt_state = trainer.set_epoch_lr(opt_state, epoch, cfg.step_size,
-                                             cfg.gamma)
+            # the reference builds a FRESH StepLR per generation
+            # (netvlad_img_sfrs.py:184-186) and gen 0 jumps straight to its
+            # last epoch, so that single epoch always trains at BASE lr —
+            # the scheduler has taken zero steps. gen>0 runs from epoch 0,
+            # where the fresh scheduler's count equals the epoch index.
+            opt_state = trainer.set_epoch_lr(opt_state,
+                                             0 if gen == 0 else epoch,
+                                             cfg.step_size, cfg.gamma)
             for subid, subset in enumerate(
                 _subset_splits(len(dataset.q_train), cfg.cache_size, epoch,
                                cfg.step_size, cfg.seed, cfg.tuple_size)

@@ -6,9 +6,9 @@
 # windows make incremental progress. Exits when every task is done.
 #
 # Launch detached:  setsid nohup bash scripts/tpu_collect.sh > /dev/null 2>&1 &
-# Progress:         tail -f logs/tpu_collect_r04/log.txt
+# Progress:         tail -f logs/tpu_collect_r05/log.txt
 set -u
-OUT=${TPU_COLLECT_OUT:-/root/repo/logs/tpu_collect_r04}
+OUT=${TPU_COLLECT_OUT:-/root/repo/logs/tpu_collect_r05}
 mkdir -p "$OUT"
 cd /root/repo
 
@@ -23,20 +23,17 @@ probe() { timeout 60 python -c "import jax; jax.devices()" >/dev/null 2>&1; }
 # mosaic probe that decided conv1_1 (kernel since deleted), then the
 # round-3 IVF features, then serving latency, sweeps, and profiles.
 TASKS=(
-  "bench_extract|1200|python -u bench.py --metric extract --batch-size 128"
-  "bench_train|1200|python -u bench.py --metric train"
+  "bench_extract_dual|1800|python -u bench.py --metric extract"
+  "bench_train_ts8|1200|python -u bench.py --metric train --batch-size 8"
+  "bench_sfrs|1200|python -u bench.py --metric sfrs"
   "query_device|1200|python -u bench.py --metric query --device-time"
-  "mosaic_probe|1200|python -u scripts/mosaic_probe.py"
-  "bench_query|1200|python -u bench.py --metric query"
-  "query_ivf32|1200|python -u bench.py --metric query --ivf-nprobe 32"
   "query_ivf32_device|1200|python -u bench.py --metric query --ivf-nprobe 32 --device-time"
-  "serving_latency|2400|python -u scripts/bench_serving.py --out $OUT/serving_latency.json"
-  "selfcheck|1200|python -u scripts/tpu_selfcheck.py --round 4"
-  "extract_sweep|1600|python -u bench.py --metric extract"
-  "train_ts6|900|python -u bench.py --metric train --batch-size 6"
-  "train_ts8|900|python -u bench.py --metric train --batch-size 8"
-  "profile_trace|1200|python -u scripts/profile_phases.py"
-  "bench_all|3000|python -u scripts/bench_all.py --round 4"
+  "serving_latency_quiet|2400|cp -n $OUT/serving_latency.json $OUT/serving_latency_contended.json 2>/dev/null; rm -f $OUT/serving_latency.json; python -u scripts/bench_serving.py --out $OUT/serving_latency.json"
+  "masked_eval_quiet|1800|cp -n $OUT/masked_eval_chip.json $OUT/masked_eval_contended.json 2>/dev/null; python -u scripts/masked_eval_chip.py --out $OUT/masked_eval_chip.json"
+  "int8_bs192|1200|python -u scripts/int8_bs192_repro.py --out $OUT/int8_bs192_crash.log"
+  "selfcheck|1200|python -u scripts/tpu_selfcheck.py --round 5"
+  "bench_query|1200|python -u bench.py --metric query"
+  "bench_all|3000|python -u scripts/bench_all.py --round 5"
 )
 
 # Attempts only count toward .fail when the task failed while the tunnel was

@@ -399,11 +399,18 @@ class TestDualStackPipelineOracle:
     def _torch_feats(self, model, src, batch=8):
         import torch
 
+        # reference extract_features switches to eval (evaluators.py:38) —
+        # EmbedRegionNet.forward BRANCHES on self.training (region scores vs
+        # plain descriptors), so this is behavioral, not just BN/dropout
+        was_training = model.training
+        model.eval()
         out = []
         with torch.no_grad():
             for s in range(0, len(src), batch):
                 x = self._torch_batch(src, range(s, min(s + batch, len(src))))
                 out.append(model(x)[1].numpy())
+        if was_training:
+            model.train()
         return np.concatenate(out)
 
     @staticmethod
@@ -628,6 +635,302 @@ class TestDualStackPipelineOracle:
                 self._torch_feats(ref, tsrc["q_test"]))).numpy()
             gt_f = pca.infer(torch.from_numpy(
                 self._torch_feats(ref, tsrc["db_test"]))).numpy()
+        final_t = ref_ev_mod.evaluate_all(
+            self._sqd(qt, gt_f), dataset.test_pos, dataset.db_test,
+            recall_topk=[1, 5, 10])
+        np.testing.assert_allclose(final_t, our_final, atol=1e-12,
+                                   err_msg="final PCA'd test recalls")
+
+
+class TestDualStackSFRSPipelineOracle:
+    """SFRS outer-loop dual-stack oracle — the generation-level analog of
+    TestDualStackPipelineOracle (VERDICT r4 item 1's SFRS variant).
+
+    The 2-generation trajectory oracle (test_reference_oracle.py) pins the
+    inner SFRS updates; this replays the reference SFRS ENTRY's outer loop
+    (/root/reference/examples/netvlad_img_sfrs.py:176-255) with the torch
+    stack against run_sfrs_training on the synthetic world: per-generation
+    teacher snapshot + student re-init from the pristine init + fresh
+    SGD/StepLR (:178-186), gen-0 training only its LAST epoch (:187-188),
+    per-subset mining — reference DiffTupleSampler on the torch stack's own
+    euclidean distances, gen>0 difficult positives via a SHARED Jaccard
+    matrix (k-reciprocal set membership is rank-discontinuous; per-stack
+    Jaccard compares chaos, not drift — same convention and rationale as
+    TestSFRSTrajectoryOracle) — hard+soft loss means per subset, per-epoch
+    val recalls, the cross-generation strict best-by-recall@5 selection, and
+    the final best-model PCA'd test recalls.
+    """
+
+    GENS, EPOCHS, STEP_SIZE, CACHE = 2, 2, 2, 4
+    NEG, POS, POS_POOL, K = 2, 2, 3, 8
+    LR, MOM, WD, GAMMA = 1e-3, 0.9, 1e-3, 0.5
+    TEMPS, SOFT = (0.07, 0.07), 0.5
+
+    _torch_batch = TestDualStackPipelineOracle._torch_batch
+    _torch_feats = TestDualStackPipelineOracle._torch_feats
+    _tb = _torch_batch
+    _tf = _torch_feats
+    _sqd = staticmethod(TestDualStackPipelineOracle._sqd)
+
+    @staticmethod
+    def _tie_aware(picks_ref, picks_ours, score, tol, what):
+        for r, o in zip(sorted(picks_ref, key=score),
+                        sorted(picks_ours, key=score)):
+            if r != o:
+                assert abs(score(r) - score(o)) < tol, (
+                    f"{what}: {picks_ref} vs {picks_ours}")
+
+    @pytest.mark.slow
+    def test_sfrs_outer_loop_matches_reference(self, tmp_path, monkeypatch):
+        import copy
+        import os
+
+        import h5py
+        import torch
+
+        from test_reference_oracle import TorchVGGBase, load_ref
+
+        from openibl_tpu.data.loader import ImageSource
+        from openibl_tpu.data.sampler import DiffTupleSampler
+        from openibl_tpu.data.transforms import TestTransform
+        from openibl_tpu.engine.evaluator import Evaluator
+        from openibl_tpu.engine.sfrs import SFRSTrainer
+        from openibl_tpu.utils.checkpoint import load_checkpoint
+
+        ref_nv_mod = load_ref("ibl.models.netvlad")
+        ref_tr_mod = load_ref("ibl.trainers")
+        ref_ev_mod = load_ref("ibl.evaluators")
+        ref_pca_mod = load_ref("ibl.pca")
+        ref_sam_mod = load_ref("ibl.utils.data.sampler")
+        monkeypatch.setattr(ref_ev_mod.dist, "get_rank", lambda: 0)
+        monkeypatch.setattr(
+            torch, "symeig",
+            lambda a, eigenvectors=True, upper=True: torch.linalg.eigh(
+                a, UPLO="U" if upper else "L"),
+            raising=False,
+        )
+        monkeypatch.setattr(torch.Tensor, "cuda",
+                            lambda self, *a, **k: self, raising=False)
+
+        cfg = _cfg(
+            tmp_path, cls=SFRSConfig, generations=self.GENS,
+            epochs=self.EPOCHS, step_size=self.STEP_SIZE,
+            cache_size=self.CACHE, neg_num=self.NEG, neg_pool=1000,
+            pos_num=self.POS, pos_pool=self.POS_POOL,
+            num_clusters=self.K, augment=False, loss_type="sare_ind",
+            lr=self.LR, gamma=self.GAMMA, temperature=self.TEMPS,
+            soft_weight=self.SOFT,
+        )
+        # 32x32 input -> 2x2 conv5 map: exact quartering on both stacks
+        cfg.data.height = cfg.data.width = 32
+
+        os.makedirs(cfg.init_dir, exist_ok=True)
+        torch_base = TorchVGGBase(seed=37)
+        torch.save(torch_base.state_dict(),
+                   osp.join(cfg.init_dir, "vd16_offtheshelf_conv5_3_max.pth"))
+
+        # --- OUR stack with spies -----------------------------------------
+        mined = []  # (sub_ids, tuples, jaccard_rows or None)
+        orig_refresh = DiffTupleSampler.refresh
+
+        def spy_refresh(self_s, q_feats, g_feats, sub_ids, jaccard_rows=None):
+            tuples = orig_refresh(self_s, q_feats, g_feats, sub_ids,
+                                  jaccard_rows=jaccard_rows)
+            mined.append((np.asarray(sub_ids).copy(),
+                          [list(t) for t in tuples],
+                          None if jaccard_rows is None
+                          else np.array(jaccard_rows, copy=True)))
+            return tuples
+
+        monkeypatch.setattr(DiffTupleSampler, "refresh", spy_refresh)
+
+        our_losses = []  # (hard, soft) mean per subset
+        orig_epoch = SFRSTrainer.train_epoch
+
+        def spy_epoch(self_t, params, teacher, opt_state, loader, gen, **kw):
+            params, opt_state, (lh, ls) = orig_epoch(
+                self_t, params, teacher, opt_state, loader, gen, **kw)
+            our_losses.append((float(lh), float(ls)))
+            return params, opt_state, (lh, ls)
+
+        monkeypatch.setattr(SFRSTrainer, "train_epoch", spy_epoch)
+
+        our_evals = []
+        orig_eval = Evaluator.evaluate_sources
+
+        def spy_eval(self_e, *a, **kw):
+            recalls = orig_eval(self_e, *a, **kw)
+            our_evals.append(np.array(recalls, copy=True))
+            return recalls
+
+        monkeypatch.setattr(Evaluator, "evaluate_sources", spy_eval)
+
+        _, our_final = pipeline.run_sfrs_training(cfg, verbose=False)
+        dataset = pipeline.load_dataset(cfg)
+        n_q, n_g = len(dataset.q_train), len(dataset.db_train)
+        # gen0 trains 1 epoch (last-epoch-only) with 2 subsets; gen1 trains
+        # 2 epochs x 2 subsets; evals: 1 (gen0) + 2 (gen1) + 1 final PCA'd
+        assert len(mined) == 6 and len(our_losses) == 6
+        assert len(our_evals) == 4
+        assert all(m[2] is None for m in mined[:2])  # gen0: euclid mining
+        assert all(m[2] is not None for m in mined[2:])  # gen1: Jaccard
+
+        # --- TORCH reference stack ----------------------------------------
+        tsrc = {
+            name: ImageSource(items, dataset.images_dir,
+                              TestTransform(cfg.data.height, cfg.data.width,
+                                            device_normalize=True))
+            for name, items in [
+                ("train", dataset.q_train + dataset.db_train),
+                ("q_val", dataset.q_val), ("db_val", dataset.db_val),
+                ("q_test", dataset.q_test), ("db_test", dataset.db_test),
+            ]
+        }
+
+        def fresh_student():
+            base = TorchVGGBase(seed=37)
+            base.load_state_dict(torch_base.state_dict())
+            nv = ref_nv_mod.NetVLAD(num_clusters=self.K, dim=512)
+            with h5py.File(
+                    osp.join(cfg.init_dir,
+                             f"vgg16_synthetic_{self.K}_desc_cen.hdf5"),
+                    "r") as h5:
+                nv.clsts = h5["centroids"][...]
+                nv.traindescs = h5["descriptors"][...]
+            nv._init_params()
+            m = ref_nv_mod.EmbedRegionNet(base, nv, tuple_size=1).train()
+            for i, mod in enumerate(m.base_model.base):
+                if i < 24:
+                    for p in mod.parameters():
+                        p.requires_grad = False
+            return m
+
+        student = fresh_student()
+        pristine_state = copy.deepcopy(student.state_dict())
+        teacher = fresh_student()
+        rtrainer = ref_tr_mod.SFRSTrainer(
+            student, teacher, margin=cfg.margin, neg_num=self.NEG,
+            temp=list(self.TEMPS))
+        sampler = ref_sam_mod.DistributedRandomDiffTupleSampler(
+            list(range(n_q)), list(range(n_g)),
+            dataset.train_pos, dataset.train_neg,
+            pos_num=self.POS, pos_pool=self.POS_POOL,
+            neg_num=self.NEG, neg_pool=cfg.neg_pool,
+            num_replicas=1, rank=0,
+        )
+
+        mined_it = iter(mined)
+        loss_it = iter(our_losses)
+        eval_it = iter(our_evals)
+        best5_t, best_gen_epoch_t, best_state = 0.0, None, None
+        G = 2 + self.NEG
+        for gen in range(self.GENS):
+            # generation boundary (netvlad_img_sfrs.py:178-186)
+            teacher.load_state_dict(student.state_dict())
+            student.load_state_dict(pristine_state)
+            opt = torch.optim.SGD(
+                [p for p in student.parameters() if p.requires_grad],
+                lr=self.LR, momentum=self.MOM, weight_decay=self.WD)
+            sched = torch.optim.lr_scheduler.StepLR(
+                opt, step_size=self.STEP_SIZE, gamma=self.GAMMA)
+            # gen0 jumps to its last epoch with the scheduler untouched
+            # (netvlad_img_sfrs.py:184-188) — it trains at BASE lr
+            start_epoch = self.EPOCHS - 1 if gen == 0 else 0
+            lam = self.SOFT if gen > 0 else 0.0
+            for epoch in range(start_epoch, self.EPOCHS):
+                for subset in pipeline._subset_splits(
+                        n_q, cfg.cache_size, epoch, cfg.step_size, cfg.seed,
+                        cfg.tuple_size):
+                    sub_ids, our_tuples, our_jac = next(mined_it)
+                    np.testing.assert_array_equal(sub_ids, subset)
+                    tf = self._tf(student, tsrc["train"])
+                    qf, gf = tf[:n_q], tf[n_q:]
+                    d2 = self._sqd(qf, gf)
+                    if gen > 0:
+                        # SHARED Jaccard (ours), scattered to full rows; the
+                        # sampler reads subset rows only
+                        jac_full = np.array(d2, copy=True)
+                        jac_full[np.asarray(sub_ids)] = our_jac
+                        jac_t = torch.from_numpy(jac_full)
+                    else:
+                        jac_t = torch.from_numpy(d2)  # gen0 fallback (:91-93)
+                    sampler.sort_gallery(torch.from_numpy(d2), jac_t,
+                                         [int(x) for x in subset])
+                    ref_tuples = [list(t) for t in sampler]
+                    ref_d = {t[0]: t for t in ref_tuples}
+                    our_d = {t[0]: t for t in our_tuples}
+                    assert set(ref_d) == set(our_d)
+                    for a in ref_d:
+                        tr, to = ref_d[a], our_d[a]
+                        d_row = self._sqd(qf[a][None], gf)[0]
+                        euclid = lambda g_id: d_row[g_id - n_q]
+                        self._tie_aware(tr[1:2], to[1:2], euclid, 5e-3,
+                                        f"gen{gen} e{epoch} a{a} positive")
+                        self._tie_aware(tr[2:G], to[2:G], euclid, 5e-3,
+                                        f"gen{gen} e{epoch} a{a} negatives")
+                        row = (our_jac[list(sub_ids).index(a)]
+                               if gen > 0 else d_row)
+                        # the reference may select FEWER than pos_num diff
+                        # positives (gap logic); ours pads with the top-1
+                        score = lambda g_id: float(row[g_id - n_q])
+                        self._tie_aware(tr[G:], to[G:len(tr)], score,
+                                        5e-3 if gen == 0 else 5e-2,
+                                        f"gen{gen} e{epoch} a{a} diff-pos")
+                    # train on OUR stream (the trajectories must stay coupled)
+                    hard, soft = [], []
+                    for tup in our_tuples:
+                        tup = np.asarray(tup)
+                        easy = self._tb(tsrc["train"], tup[:G])[None]
+                        diff = self._tb(tsrc["train"],
+                                        np.concatenate([tup[:1], tup[G:]])
+                                        )[None]
+                        opt.zero_grad()
+                        lh, ls = rtrainer._forward(easy, diff, "sare_ind",
+                                                   gen)
+                        (lh + ls * lam).backward()
+                        opt.step()
+                        hard.append(float(lh.detach()))
+                        soft.append(float(ls.detach()))
+                    lh_o, ls_o = next(loss_it)
+                    np.testing.assert_allclose(
+                        np.mean(hard), lh_o, rtol=2e-3, atol=1e-4,
+                        err_msg=f"gen{gen} e{epoch} hard loss")
+                    np.testing.assert_allclose(
+                        np.mean(soft), ls_o, rtol=2e-3, atol=1e-4,
+                        err_msg=f"gen{gen} e{epoch} soft loss")
+                qv = self._tf(student, tsrc["q_val"])
+                gv = self._tf(student, tsrc["db_val"])
+                recalls_t = ref_ev_mod.evaluate_all(
+                    self._sqd(qv, gv), dataset.val_pos, dataset.db_val,
+                    recall_topk=[1, 5, 10])
+                np.testing.assert_allclose(
+                    recalls_t, next(eval_it), atol=1e-12,
+                    err_msg=f"val recalls gen {gen} epoch {epoch}")
+                if recalls_t[1] > best5_t:
+                    best5_t = recalls_t[1]
+                    best_gen_epoch_t = (gen, epoch)
+                    best_state = copy.deepcopy(student.state_dict())
+                sched.step()
+
+        # cross-generation best-checkpoint selection identical
+        _, meta = load_checkpoint(
+            osp.join(cfg.logs_dir, "model_best.npz"), {})
+        assert (int(meta["generation"]), int(meta["epoch"])) \
+            == best_gen_epoch_t
+
+        # final: best model -> reference PCA -> test recalls
+        student.load_state_dict(best_state)
+        train_f = self._tf(student, tsrc["train"])
+        pca = ref_pca_mod.PCA(
+            pca_n_components=cfg.pca_dim, pca_whitening=cfg.whiten,
+            pca_parameters_path=str(tmp_path / "ref_pca_sfrs.h5"))
+        pca.train(torch.from_numpy(train_f.copy()))
+        pca.load(gpu=None)
+        with torch.no_grad():
+            qt = pca.infer(torch.from_numpy(
+                self._tf(student, tsrc["q_test"]))).numpy()
+            gt_f = pca.infer(torch.from_numpy(
+                self._tf(student, tsrc["db_test"]))).numpy()
         final_t = ref_ev_mod.evaluate_all(
             self._sqd(qt, gt_f), dataset.test_pos, dataset.db_test,
             recall_topk=[1, 5, 10])
