@@ -9,10 +9,11 @@ cd "$(dirname "$0")/.."
 DATASET=${1:-pitts}
 SCALE=${2:-30k}
 LOSS=${3:-sare_ind}   # triplet | sare_ind | sare_joint
+shift $(( $# > 3 ? 3 : $# ))
 
 python examples/train_baseline.py -d "$DATASET" --scale "$SCALE" \
   --loss-type "$LOSS" \
   --tuple-size 1 --neg-num 10 --neg-pool 1000 --cache-size 1000 \
   --lr 0.001 --momentum 0.9 --weight-decay 0.001 \
   --epochs 5 --step-size 5 --margin 0.1 \
-  --logs-dir "logs/netvlad-tpu/${DATASET}${SCALE}-${LOSS}"
+  --logs-dir "logs/netvlad-tpu/${DATASET}${SCALE}-${LOSS}" "$@"

@@ -6,6 +6,7 @@ cd "$(dirname "$0")/.."
 
 DATASET=${1:-pitts}
 SCALE=${2:-30k}
+shift $(( $# > 2 ? 2 : $# ))
 
 python examples/train_sfrs.py -d "$DATASET" --scale "$SCALE" \
   --loss-type sare_ind \
@@ -14,4 +15,4 @@ python examples/train_sfrs.py -d "$DATASET" --scale "$SCALE" \
   --lr 0.001 --momentum 0.9 --weight-decay 0.001 \
   --epochs 5 --step-size 5 --margin 0.1 \
   --generations 4 --temperature 0.07 0.07 0.06 0.05 --soft-weight 0.5 \
-  --logs-dir "logs/sfrs-tpu/${DATASET}${SCALE}"
+  --logs-dir "logs/sfrs-tpu/${DATASET}${SCALE}" "$@"
