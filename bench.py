@@ -399,8 +399,10 @@ def _bench_body(args):
         model, params, fwd = build_extract_model(quantized)
         batches = [args.batch_size] if args.batch_size else (
             [8, 16] if args.quick else (
-                # int8 conv at bs>=192 crashes the axon tpu_compile_helper
-                # (scripts/int8_probe.py --bs192; logs/int8_bs192_crash.log);
+                # the FULL int8 program at bs>=192 stalls the axon
+                # tpu_compile_helper indefinitely (scripts/int8_bs192_repro.py;
+                # logs/tpu_collect_r05/int8_bs192_crash.log — every single
+                # layer compiles fine, the whole-program compile hangs);
                 # bs128 wins the sweep in both modes anyway
                 [16, 32, 64, 128] if quantized
                 else [16, 32, 64, 128, 192, 256]

@@ -99,14 +99,23 @@ def _auto_full_path(q_rows, n, feat_dim, gallery_widened):
 
 
 # streaming-path tile sizing: each scan step upcasts/dequantizes one
-# (chunk, D) f32 tile transiently. Small tiles make small-Q serving
-# dispatch/merge-dominated (25 steps of 16x4096 @ 4096x4096 matmuls); the
-# tile target keeps the step count low while bounding the transient.
+# (chunk, D) f32 tile AND materializes ~3 copies of the (Q, chunk) distmat
+# (d, its negation, top-k workspace) transiently. Small tiles make small-Q
+# serving dispatch/merge-dominated (25 steps of 16x4096 @ 4096x4096
+# matmuls); the tile target keeps the step count low while bounding the
+# per-step transient.
 _STREAM_TILE_BYTES = 256 * 1024**2
 
 
-def _auto_chunk(n, feat_dim):
-    rows = _STREAM_TILE_BYTES // max(4 * feat_dim, 1)
+def _auto_chunk(n, feat_dim, q_rows=1):
+    # budget BOTH per-step transients: the (chunk, D) tile upcast and the
+    # ~3x (Q, chunk) distmat workspace. Sizing by the tile alone handed the
+    # rerank's gallery-vs-gallery call (Q = n = 83k, D = 8) ONE whole-gallery
+    # tile whose scan step materialized an 83k x 83k distmat (59 GB peak RSS,
+    # tests/test_rerank.py memory envelope); for small-Q serving the distmat
+    # term is noise and the tile sizing is unchanged.
+    denom = 4 * (feat_dim + 3 * max(int(q_rows), 1))
+    rows = _STREAM_TILE_BYTES // max(denom, 1)
     return int(min(max(rows, 4096), max(n, 1)))
 
 
@@ -167,7 +176,7 @@ def topk_nearest(query, gallery, k, chunk=None, full_path=None,
     n = g.shape[0]
     k = min(k, n)
     if chunk is None:
-        chunk = _auto_chunk(n, g.shape[1])
+        chunk = _auto_chunk(n, g.shape[1], q.shape[0])
 
     if full_path is None:
         widened = gallery_scale is not None or g.dtype != jnp.float32

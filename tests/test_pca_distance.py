@@ -285,10 +285,27 @@ class TestReducedPrecisionGallery:
         gallery size."""
         from openibl_tpu.ops.distance import _STREAM_TILE_BYTES, _auto_chunk
 
-        c = _auto_chunk(1_000_000, 4096)
-        assert c == _STREAM_TILE_BYTES // (4 * 4096)  # 16384 rows
+        c = _auto_chunk(1_000_000, 4096, q_rows=1)
+        assert c == _STREAM_TILE_BYTES // (4 * (4096 + 3))  # ~16k rows
         assert _auto_chunk(300, 4096) == 300  # never pads past the gallery
         assert _auto_chunk(1_000_000, 1_000_000) == 4096  # floor
+
+    def test_auto_chunk_bounds_per_step_distmat(self):
+        """The per-step (Q, chunk) distmat counts toward the tile budget:
+        the rerank's gallery-vs-gallery call (Q = n = 83k, D = 8) must NOT
+        get one whole-gallery tile (its scan step would materialize an
+        83k x 83k f32 distmat — 59 GB peak RSS, the r5 regression the
+        memory-envelope test caught); small-Q serving keeps large tiles."""
+        from openibl_tpu.ops.distance import _STREAM_TILE_BYTES, _auto_chunk
+
+        n = 83_024
+        c = _auto_chunk(n, 8, q_rows=n)
+        assert c == 4096  # floor, NOT the whole gallery
+        # per-step transient stays in the single-GB range the envelope
+        # test's 8 GB ceiling assumes (3 distmat copies + the tile)
+        assert 4 * c * (8 + 3 * n) < 8 * 1024**3
+        # serving shape: the distmat term is noise, tiles stay ~256MB
+        assert _auto_chunk(1_000_000, 4096, q_rows=16) > 15_000
 
 
 class TestGallerySqnorm:
