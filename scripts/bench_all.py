@@ -26,7 +26,10 @@ SUITE = [
     # wall-clock budget on the tunneled chip
     # int8 is the TPU default since 2026-08-19 (ops/quant.py; _int8 metric
     # tag); the bf16 rows keep the historical comparison alive
-    ("extract_int8", ["--metric", "extract", "--batch-size", "128"]),
+    # explicit --int8: the TPU default runs BOTH modes (dual flagship
+    # lines), which would duplicate the extract_fused bf16 pass here
+    ("extract_int8", ["--metric", "extract", "--batch-size", "128",
+                      "--int8"]),
     ("extract_fused", ["--metric", "extract", "--no-int8",
                        "--batch-size", "128"]),
     ("extract_nofused", ["--metric", "extract", "--no-int8", "--no-fused",
