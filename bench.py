@@ -75,7 +75,7 @@ def vgg16_netvlad_flops(height, width):
     return sum(per_stage.values()), per_stage
 
 
-def _aot_step(jitted, *args):
+def _aot_step(jitted, *args, alarm_s=0):
     """AOT-compile a jitted train step and harvest its exact FLOPs.
 
     Returns (callable, flops-per-call or None). The compiled executable is
@@ -84,11 +84,33 @@ def _aot_step(jitted, *args):
     XLA dead-code-eliminates the backward through the frozen conv1-4 stack
     (measured: the masked step is 1.12x forward FLOPs at 64x64 where a full
     backward would be 3.00x), so an analytic fwd+bwd formula would
-    overstate the work and flatter the MFU."""
+    overstate the work and flatter the MFU.
+
+    alarm_s>0 bounds the compile with SIGALRM (main thread only): on a
+    degraded tunnel day the ts8 whole-program compile can outlast the
+    collector window that r4's run fit in 3x over
+    (logs/tpu_collect_r05/log.txt bench_train_ts8 rc=124), and a hung AOT
+    must degrade to the plain jit + scaled-flops path, not eat the task's
+    entire budget."""
+    import signal
+    import threading
+
+    can_alarm = (alarm_s > 0 and hasattr(signal, "SIGALRM")
+                 and threading.current_thread() is threading.main_thread())
+    if can_alarm:
+        def _raise(signum, frame):
+            raise TimeoutError(f"AOT compile exceeded {alarm_s}s")
+
+        prev = signal.signal(signal.SIGALRM, _raise)
+        signal.alarm(alarm_s)
     try:
         compiled = jitted.lower(*args).compile()
     except Exception:
         return jitted, None
+    finally:
+        if can_alarm:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, prev)
     flops = None
     try:
         ca = compiled.cost_analysis()
@@ -100,8 +122,29 @@ def _aot_step(jitted, *args):
     return compiled, flops
 
 
-def _mfu_fields(rate_tuples_per_sec, flops_per_call, tuples_per_call):
-    if not flops_per_call:
+def _scaled_step_flops(jitted, small_args, height, width, sh, sw):
+    """Post-DCE step FLOPs at full resolution, measured at a small spatial
+    size and scaled by the pixel ratio.
+
+    Exact for the conv stack: every 3x3 same-padding conv's fwd/bwd FLOPs
+    are 2*H*W*cin*cout*9, linear in H*W (both sizes /16-divisible so all
+    pooled stages scale identically), and the DCE structure (frozen conv1-4
+    backward eliminated) is shape-independent. The only off-scale terms are
+    the descriptor-space loss and the O(params) optimizer update — <0.3% of
+    a 480x640 step. Fallback for when the full-shape AOT compile times out;
+    returns None if the small compile yields no cost analysis either."""
+    _, fs = _aot_step(jitted, *small_args, alarm_s=180)
+    if not fs:
+        return None
+    return fs * (height * width) / (sh * sw)
+
+
+def _mfu_fields(rate_tuples_per_sec, flops_per_call, tuples_per_call, dtype):
+    # mfu only for bf16 compute: the denominator is the bf16 MXU peak, and
+    # an f32 run has no single comparable peak (XLA decomposes f32 matmuls
+    # into several bf16 passes) — dividing by the bf16 peak would overstate
+    # an f32 run's utilization ~2-3x in a committed artifact
+    if not flops_per_call or dtype != "bfloat16":
         return {}
     tflops = rate_tuples_per_sec * flops_per_call / tuples_per_call / 1e12
     return {"tflops": round(tflops, 1),
@@ -366,7 +409,19 @@ def _bench_body(args):
         # AOT: the compiled executable runs the loop AND reports exact FLOPs
         # (mesh is None here so trainer._step's device-batch handling is a
         # no-op; trainer.step() would route to the same jit)
-        step, step_flops = _aot_step(trainer._step, tparams, opt, tup)
+        step, step_flops = _aot_step(trainer._step, tparams, opt, tup,
+                                     alarm_s=300)
+        sh, sw = 64, 96
+        if (step_flops is None and args.dtype == "bfloat16"
+                and args.height % 16 == 0 and args.width % 16 == 0
+                and (args.height, args.width) != (sh, sw)):
+            tup_s = jax.jit(
+                lambda k: jax.random.normal(
+                    k, (t_size, 12, sh, sw, 3)) * 40
+            )(jax.random.PRNGKey(1))
+            step_flops = _scaled_step_flops(
+                trainer._step, (tparams, opt, tup_s),
+                args.height, args.width, sh, sw)
         tparams, opt, loss = step(tparams, opt, tup)  # compile/warm
         float(loss)
         group = max(args.iters // 3, 1)
@@ -383,7 +438,7 @@ def _bench_body(args):
             "value": round(rate, 3),
             "unit": "tuples/sec/chip",
             "vs_baseline": round(rate / REFERENCE_GPU_TRAIN_TUPLES_PER_SEC, 2),
-            **_mfu_fields(rate, step_flops, t_size),
+            **_mfu_fields(rate, step_flops, t_size, args.dtype),
         }))
         return
 
@@ -413,7 +468,22 @@ def _bench_body(args):
         )
         easy = mk(jax.random.PRNGKey(2), 12)
         diff = mk(jax.random.PRNGKey(3), 11)
-        step, step_flops = _aot_step(step, sparams, t_params, opt, easy, diff)
+        step, step_flops = _aot_step(step, sparams, t_params, opt, easy, diff,
+                                     alarm_s=300)
+        sh, sw = 64, 96
+        if (step_flops is None and args.dtype == "bfloat16"
+                and args.height % 16 == 0 and args.width % 16 == 0
+                and (args.height, args.width) != (sh, sw)):
+            mk_s = jax.jit(
+                lambda k, n: jax.random.normal(
+                    k, (t_size, n, sh, sw, 3)) * 40,
+                static_argnums=1,
+            )
+            step_flops = _scaled_step_flops(
+                step, (sparams, t_params, opt,
+                       mk_s(jax.random.PRNGKey(2), 12),
+                       mk_s(jax.random.PRNGKey(3), 11)),
+                args.height, args.width, sh, sw)
         sparams, opt, lh, ls = step(sparams, t_params, opt, easy, diff)
         float(lh)  # compile + fence
         group = max(args.iters // 3, 1)
@@ -430,7 +500,7 @@ def _bench_body(args):
             "value": round(rate, 3),
             "unit": "tuples/sec/chip",
             "vs_baseline": round(rate / REFERENCE_GPU_SFRS_TUPLES_PER_SEC, 2),
-            **_mfu_fields(rate, step_flops, t_size),
+            **_mfu_fields(rate, step_flops, t_size, args.dtype),
         }))
         return
 
@@ -501,17 +571,16 @@ def _bench_body(args):
         any_line = True
         qtag = "_int8" if quantized else ""
         # MFU vs the chip's bf16 matmul peak (2*MAC FLOP convention on both
-        # sides). For the mixed bf16/int8 mode the true ceiling is higher
-        # (int8 layers run against the 394 TOP/s path), so its "mfu" is a
-        # lower bound — docs/SCALING.md carries the per-precision split.
-        tflops = best * flops_per_img / 1e12
+        # sides); bf16 runs only — an f32 run has no single comparable peak.
+        # For the mixed bf16/int8 mode the true ceiling is higher (int8
+        # layers run against the 394 TOP/s path), so its "mfu" is a lower
+        # bound — docs/SCALING.md carries the per-precision split.
         print(json.dumps({
             "metric": f"descriptor_images_per_sec_per_chip_{args.height}x{args.width}_{args.dtype}{qtag}_bs{best_bs}",
             "value": round(best, 2),
             "unit": "images/sec/chip",
             "vs_baseline": round(best / REFERENCE_GPU_IMG_PER_SEC, 2),
-            "tflops": round(tflops, 1),
-            "mfu": round(tflops * 1e12 / V5E_PEAK_BF16_FLOPS, 3),
+            **_mfu_fields(best, flops_per_img, 1, args.dtype),
         }), flush=True)
     if not any_line:
         sys.exit(1)

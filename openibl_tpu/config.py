@@ -55,7 +55,7 @@ class TrainConfig:
     # instead of host PIL — same distribution, frees few-core TPU hosts
     augment: bool = True  # False disables ColorJitter entirely (host AND
     # device) — deterministic train-time pixels for ablations and the
-    # dual-stack pipeline oracle (tests/test_pipeline_oracle.py)
+    # dual-stack pipeline oracles (tests/test_e2e.py::TestDualStack*)
 
     @property
     def margin(self):

@@ -89,7 +89,7 @@ test_both() { # <checkpoint-dir> — Pitts250k-test then Tokyo 24/7 (real run);
 # Stage 0: NetVLAD centroid bootstrap (examples/cluster.py writes the
 # reference-compatible {arch}_{dataset}_{k}_desc_cen.hdf5 cache next to the
 # logs; every training run below reuses it).
-bash scripts/cluster.sh "$DS" "${CLUSTERARGS[@]}"
+bash scripts/cluster.sh "$DS" ${CLUSTERARGS[@]+"${CLUSTERARGS[@]}"}
 
 # canonical checkpoint dirs (the real-run values match what the launch
 # scripts compute themselves; passing --logs-dir explicitly is a no-op

@@ -28,6 +28,32 @@ def _run_bench(argv, capsys):
     return payload
 
 
+def test_aot_step_alarm_falls_back_to_jitted():
+    """A hung AOT compile must degrade to the plain jitted fn, not block
+    (the ts8 whole-program compile outlasted the 20-min collector window on
+    a degraded tunnel day, logs/tpu_collect_r05/log.txt)."""
+    import importlib.util
+    import time
+
+    spec = importlib.util.spec_from_file_location("bench_mod", BENCH)
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    class _SlowLowered:
+        def compile(self):
+            time.sleep(30)
+
+    class _FakeJitted:
+        def lower(self, *a):
+            return _SlowLowered()
+
+    fake = _FakeJitted()
+    t0 = time.perf_counter()
+    fn, flops = bench._aot_step(fake, 1, alarm_s=1)
+    assert time.perf_counter() - t0 < 10
+    assert fn is fake and flops is None
+
+
 @pytest.mark.parametrize("metric_args", [
     ["--batch-size", "2", "--iters", "2", "--height", "64", "--width", "64",
      "--dtype", "float32"],
