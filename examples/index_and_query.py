@@ -65,9 +65,28 @@ def build(args):
                        ivf_lists=ivf["lists"])
         print(f"IVF: {ivf['lists'].shape[0]} cells x "
               f"{ivf['lists'].shape[1]} capacity")
+    if args.pq_m:
+        from openibl_tpu.ops.pq import build_pq
+
+        # train on the same vectors the full-width search would run over
+        # (post store-dtype rounding), like the IVF build above
+        payload.update(build_pq(search_vectors, m=args.pq_m))
+        print(f"PQ: m={args.pq_m} -> {args.pq_m} bytes/descriptor "
+              f"({feats.shape[1] * 4 // args.pq_m}x smaller than f32)")
+        if args.pq_only:
+            del payload["descriptors"]
+            payload.pop("scales", None)
+            if args.ivf_nlist:
+                raise SystemExit(
+                    "--pq-only cannot keep IVF tables (they index the "
+                    "full-width descriptors); drop --ivf-nlist")
+    elif args.pq_only:
+        raise SystemExit("--pq-only requires --pq-m")
     np.savez(index_path, **payload)
-    print(f"wrote {index_path}: {feats.shape} descriptors "
-          f"({args.store_dtype})")
+    stored = (f"pq m={args.pq_m} only" if args.pq_only
+              else args.store_dtype + (f" + pq m={args.pq_m}"
+                                       if args.pq_m else ""))
+    print(f"wrote {index_path}: {feats.shape} descriptors ({stored})")
 
 
 def query(args):
@@ -79,14 +98,23 @@ def query(args):
 
     index_path = args.index if args.index.endswith(".npz") else args.index + ".npz"
     data = np.load(index_path, allow_pickle=False)
-    gallery, paths = data["descriptors"], data["paths"]
-    scales = data["scales"] if gallery.dtype == np.int8 else None
+    paths = data["paths"]
     extractor = DescriptorExtractor(args.weights, args.height, args.width,
                                     pca_params=args.pca_params)
     desc = extractor(Image.open(args.image).convert("RGB"))
-    d, idx = topk_nearest(jnp.asarray(desc), jnp.asarray(gallery),
-                          k=min(args.topk, len(gallery)),
-                          gallery_scale=scales)
+    if "descriptors" in data.files:
+        gallery = data["descriptors"]
+        scales = data["scales"] if gallery.dtype == np.int8 else None
+        d, idx = topk_nearest(jnp.asarray(desc), jnp.asarray(gallery),
+                              k=min(args.topk, len(gallery)),
+                              gallery_scale=scales)
+    else:  # PQ-only index (build --pq-m ... --pq-only): exhaustive ADC
+        from openibl_tpu.ops.pq import pq_search
+
+        codes = data["pq_codes"]
+        d, idx = pq_search(jnp.asarray(desc), jnp.asarray(codes),
+                           jnp.asarray(data["pq_codebooks"]),
+                           k=min(args.topk, len(codes)))
     d, idx = np.asarray(d)[0], np.asarray(idx)[0]
     print(f"top-{len(idx)} matches for {args.image}:")
     for rank, (i, dist) in enumerate(zip(idx, d), 1):
@@ -109,6 +137,15 @@ def main():
                         "cells (ops.ivf): the serving layer then probes "
                         "only the nearest cells per query instead of "
                         "scanning the whole index (0 = exact-only index)")
+    b.add_argument("--pq-m", type=int, default=0,
+                   help="also product-quantize the index into this many "
+                        "uint8 subcodes per descriptor (ops.pq; m bytes "
+                        "each — 256x smaller than f32 at D=4096, m=64); "
+                        "serving/query score codes by exhaustive ADC")
+    b.add_argument("--pq-only", action="store_true",
+                   help="with --pq-m: store ONLY the PQ arrays (drop the "
+                        "full-width descriptors) — the max-compression "
+                        "index for galleries that cannot fit full-width")
     q = sub.add_parser("query")
     q.add_argument("index")
     q.add_argument("image")

@@ -87,6 +87,11 @@ def main():
                    help=">0 probes only that many IVF cells per query "
                         "(approximate, ~nlist/nprobe less HBM traffic; "
                         "index must be built with --ivf-nlist)")
+    p.add_argument("--pq", action="store_true",
+                   help="serve from the index's product-quantized codes "
+                        "(build --pq-m; ~256x smaller in HBM at m=64, "
+                        "exhaustive-ADC search). Implied for --pq-only "
+                        "indexes")
     p.add_argument("--quant-backbone", action="store_true",
                    help="run the conv backbone mixed bf16/int8 "
                         "(openibl_tpu/ops/quant.py; descriptor cosine vs "
@@ -106,7 +111,8 @@ def main():
                                mesh=mesh, quantize_int8=args.int8,
                                ivf_nprobe=args.ivf_nprobe,
                                pca_params=args.pca_params,
-                               quant_backbone=args.quant_backbone)
+                               quant_backbone=args.quant_backbone,
+                               use_pq=args.pq)
     print(f"warming {len(service.buckets)} batch buckets over "
           f"{service.index_size}-image index ...")
     service.warmup()

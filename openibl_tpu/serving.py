@@ -76,12 +76,18 @@ class RetrievalService:
         exact scan (strictly faster and exact — see _ivf_beats_exact).
       quant_backbone: run the conv backbone mixed bf16/int8 (ops/quant.py);
         calib_images optionally supplies representative calibration frames.
+      use_pq: serve from the index's product-quantized codes (ops/pq.py;
+        "pq_codes"/"pq_codebooks" from index_and_query.py build --pq-m) —
+        ~D·4/m x smaller in HBM than f32 (256x at D=4096, m=64), searched
+        by exhaustive ADC. Implied when the index carries ONLY PQ arrays
+        (built with --pq-only). Approximate: distances are to the decoded
+        codes; use for galleries too large for a full-width index.
     """
 
     def __init__(self, index, weights=None, height=480, width=640,
                  batch_buckets=_BATCH_BUCKETS, mesh=None,
                  quantize_int8=False, ivf_nprobe=0, pca_params=None,
-                 quant_backbone=False, calib_images=None):
+                 quant_backbone=False, calib_images=None, use_pq=False):
         import jax
         import jax.numpy as jnp
 
@@ -96,7 +102,29 @@ class RetrievalService:
             data = np.load(index, allow_pickle=False)
             index = {k: data[k] for k in data.files}
         self.paths = [str(p) for p in index.get("paths", [])]
-        gallery = np.ascontiguousarray(index["descriptors"])
+        self._pq_codebooks = None
+        self.use_pq = bool(use_pq) or "descriptors" not in index
+        if self.use_pq:
+            if "pq_codes" not in index:
+                raise ValueError(
+                    "PQ serving needs 'pq_codes'/'pq_codebooks' in the "
+                    "index — rebuild with index_and_query.py build --pq-m"
+                )
+            if quantize_int8:
+                raise ValueError(
+                    "quantize_int8 does not apply to a PQ index (codes are "
+                    "already 1 byte per subspace)"
+                )
+            if ivf_nprobe:
+                raise ValueError(
+                    "IVF routing over a PQ index is not supported — use "
+                    "ivf_nprobe with a full-width index, or use_pq alone"
+                )
+            gallery = np.ascontiguousarray(index["pq_codes"], np.uint8)
+            scales = None
+        else:
+            gallery = np.ascontiguousarray(index["descriptors"])
+            scales = None
         if self.paths and len(self.paths) != gallery.shape[0]:
             # catch a malformed/truncated index at load — otherwise the
             # mismatch surfaces as per-request IndexError (HTTP 500s) only
@@ -105,22 +133,22 @@ class RetrievalService:
                 f"index has {gallery.shape[0]} descriptors but "
                 f"{len(self.paths)} paths"
             )
-        scales = None
-        if gallery.dtype == np.int8:
-            if "scales" not in index:
-                raise ValueError(
-                    "int8 index needs per-row 'scales' "
-                    "(ops.distance.quantize_index_int8)"
-                )
-            scales = np.asarray(index["scales"], np.float32)
-        elif quantize_int8:
-            gallery, scales = quantize_index_int8(gallery)
-        elif gallery.dtype != np.float16:
-            gallery = gallery.astype(np.float32, copy=False)
+        if not self.use_pq:
+            if gallery.dtype == np.int8:
+                if "scales" not in index:
+                    raise ValueError(
+                        "int8 index needs per-row 'scales' "
+                        "(ops.distance.quantize_index_int8)"
+                    )
+                scales = np.asarray(index["scales"], np.float32)
+            elif quantize_int8:
+                gallery, scales = quantize_index_int8(gallery)
+            elif gallery.dtype != np.float16:
+                gallery = gallery.astype(np.float32, copy=False)
         # float16 indexes stay half-width in HBM, int8 quarter-width;
         # topk_nearest upcasts/dequantizes per-tile transiently
         # (descriptors are unit-norm, so reduced precision only reorders
-        # near-tied matches)
+        # near-tied matches); PQ codes stay uint8, scored by ADC
         self.index_size = gallery.shape[0]
         self.height, self.width = height, width
         self.buckets = tuple(sorted(batch_buckets))
@@ -156,6 +184,14 @@ class RetrievalService:
                 self._model, self._params, jnp.asarray(calib_images)
             )
         self._lock = threading.Lock()  # serialize device work per process
+        if self.use_pq and mesh is not None:
+            import warnings
+
+            warnings.warn(
+                "PQ serving is single-device (codes are ~D*4/m x smaller "
+                "than the f32 index the sharded path exists for); serving "
+                "the codes from the default device", stacklevel=2)
+            mesh = None
         self.mesh = mesh
 
         self.ivf_nprobe = int(ivf_nprobe)
@@ -173,6 +209,28 @@ class RetrievalService:
                 "ivf_nprobe set but the index has no IVF tables — rebuild "
                 "with index_and_query.py build --ivf-nlist"
             )
+
+        if self.use_pq:
+            from openibl_tpu.ops.pq import pq_search
+
+            self._gallery = jnp.asarray(gallery)  # (N, m) uint8 codes
+            self._scale = None
+            self._pq_codebooks = jnp.asarray(
+                index["pq_codebooks"], jnp.float32)
+            if (self._pq_codebooks.shape[0] != gallery.shape[1]
+                    or self._pq_codebooks.ndim != 3):
+                raise ValueError(
+                    f"pq_codebooks shape {self._pq_codebooks.shape} does "
+                    f"not match codes (N, m={gallery.shape[1]})"
+                )
+            fwd = jax.jit(self._model.apply)
+
+            def run(params, images, gallery, k):
+                return pq_search(fwd(params, images), gallery,
+                                 self._pq_codebooks, k=k)
+
+            self._run = run
+            return
 
         sqnorms = _row_sqnorms(gallery, scales)
 

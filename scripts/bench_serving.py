@@ -27,6 +27,104 @@ def p50(samples):
     return float(np.percentile(np.asarray(samples), 50))
 
 
+def _device_time_pass(args, results, todo, g_dev, stage, out):
+    """Per-variant DEVICE latency: one jitted lax.scan of scan_n queries
+    (image generated in-body -> model forward -> search), one dispatch —
+    the only timing the tunnel's ~33 ms floor and multi-MB image H2D can't
+    pollute (same technique as bench.py --device-time). All index variants
+    are built ON DEVICE from the resident gallery (no 1.6 GB host bounce);
+    the artifact rows land next to the synchronous p50s as
+    ``device_ms_per_query``."""
+    import json
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from openibl_tpu.hub import vgg16_netvlad
+    from openibl_tpu.ops.distance import topk_nearest
+
+    model, params = vgg16_netvlad(None)
+    n2 = jax.jit(lambda g: jnp.sum(jnp.square(g), axis=1))(g_dev)
+
+    searches = {}
+    if "f32" in todo:
+        searches["f32"] = lambda d: topk_nearest(
+            d, g_dev, k=10, gallery_sqnorm=n2)[1]
+    if "f16" in todo:
+        g16 = jax.jit(lambda g: g.astype(jnp.float16))(g_dev)
+        searches["f16"] = lambda d: topk_nearest(
+            d, g16, k=10, gallery_sqnorm=n2)[1]
+    if "int8" in todo:
+        @jax.jit
+        def _quant(g):
+            s = jnp.maximum(jnp.max(jnp.abs(g), axis=1) / 127.0, 1e-30)
+            c = jnp.clip(jnp.round(g / s[:, None]), -127, 127).astype(
+                jnp.int8)
+            n2i = jnp.sum(jnp.square(c.astype(jnp.float32)
+                                     * s[:, None]), axis=1)
+            return c, s, n2i
+
+        codes8, scales8, n2i = _quant(g_dev)
+        searches["int8"] = lambda d: topk_nearest(
+            d, codes8, k=10, gallery_scale=scales8, gallery_sqnorm=n2i)[1]
+    if "ivf_f32" in todo:
+        from openibl_tpu.ops.ivf import fill_lists, ivf_search
+
+        nlist = args.ivf_nlist
+        maxlen = -(-2 * args.gallery_size // nlist)
+        centroids = g_dev[:nlist]  # uniform data: rows ARE centroid-quality
+        _, ranked = topk_nearest(g_dev, centroids, k=8)
+        lists = jnp.asarray(
+            fill_lists(np.asarray(ranked), nlist, maxlen, x=g_dev,
+                       centroids=np.asarray(centroids)))
+        stage("ivf lists filled")
+        nprobe = min(args.ivf_nprobe, nlist)
+        searches["ivf_f32"] = lambda d: ivf_search(
+            d, g_dev, centroids, lists, k=10, nprobe=nprobe,
+            gallery_sqnorm=n2)[1]
+    if "pq" in todo:
+        from openibl_tpu.ops.pq import build_pq, pq_search
+
+        payload = build_pq(g_dev, m=64, train_size=16384, iters=10)
+        pq_codes = jnp.asarray(payload["pq_codes"])
+        pq_cb = jnp.asarray(payload["pq_codebooks"])
+        stage("pq built (on device)")
+        searches["pq"] = lambda d: pq_search(d, pq_codes, pq_cb, k=10)[1]
+
+    def flush():
+        tmp = out.with_suffix(out.suffix + ".tmp")
+        tmp.write_text(json.dumps(results, indent=1))
+        tmp.replace(out)
+
+    n = args.scan_n
+    keys = jax.random.split(jax.random.PRNGKey(2), n)
+    for name in todo:
+        search = searches[name]
+
+        @jax.jit
+        def scan_queries(params, keys, _search=search):
+            def body(_, k):
+                im = jax.random.normal(
+                    k, (1, args.height, args.width, 3)) * 40
+                return 0, _search(model.apply(params, im))
+
+            _, idxs = jax.lax.scan(body, 0, keys)
+            return idxs
+
+        np.asarray(scan_queries(params, keys))  # compile + warm
+        t0 = time.perf_counter()
+        np.asarray(scan_queries(params, keys))
+        ms = (time.perf_counter() - t0) / n * 1e3
+        row = results["variants"].setdefault(name, {})
+        row["device_ms_per_query"] = round(ms, 2)
+        row["device_scan_n"] = n
+        print(f"{name}: device {ms:.2f} ms/query (scan of {n})", flush=True)
+        flush()
+    print(json.dumps({"artifact": str(out), "ok": True,
+                      "mode": "device-time"}))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--gallery-size", type=int, default=100_000)
@@ -44,10 +142,20 @@ def main():
     ap.add_argument("--out", type=str,
                     default=str(ROOT / "logs" / "serving_latency.json"))
     ap.add_argument("--variants", type=str,
-                    default="f32,f16,int8,ivf_f32",
+                    default="f32,f16,int8,ivf_f32,pq",
                     help="subset to measure; completed variants already in "
                          "--out are skipped (resume), so a timed-out run "
                          "can be finished by re-running")
+    ap.add_argument("--device-time", action="store_true",
+                    help="additionally record per-variant DEVICE latency "
+                         "(one jitted lax.scan of n distinct queries — "
+                         "model forward + search — per variant): the "
+                         "synchronous p50s above are dominated by the "
+                         "tunnel's ~33 ms dispatch floor and the uint8 "
+                         "image H2D (~15 MB at bs16), which buries the "
+                         "between-variant search deltas in transfer noise")
+    ap.add_argument("--scan-n", type=int, default=30,
+                    help="queries per device-time scan")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -84,7 +192,12 @@ def main():
         except (json.JSONDecodeError, OSError):
             pass
     wanted = [v for v in args.variants.split(",") if v]
-    todo = [v for v in wanted if v not in results["variants"]]
+    if args.device_time:
+        todo = [v for v in wanted
+                if "device_ms_per_query"
+                not in results["variants"].get(v, {})]
+    else:
+        todo = [v for v in wanted if v not in results["variants"]]
     if not todo:
         print(json.dumps({"artifact": str(out), "ok": True,
                           "skipped": "all variants already captured"}))
@@ -103,7 +216,12 @@ def main():
                                 jnp.float32)
         return raw / jnp.linalg.norm(raw, axis=1, keepdims=True)
 
-    g = np.asarray(_mk_gallery(jax.random.PRNGKey(0)))
+    g_dev = _mk_gallery(jax.random.PRNGKey(0))
+    if args.device_time:
+        _device_time_pass(args, results, todo, g_dev, stage, out)
+        return
+    g = np.asarray(g_dev)
+    del g_dev
     stage("gallery built (on device)")
 
     variants = {"f32": lambda: dict(index={"descriptors": g}),
@@ -126,8 +244,18 @@ def main():
             ivf_nprobe=args.ivf_nprobe,
         )
 
+    def _pq():
+        from openibl_tpu.ops.pq import build_pq
+
+        # random-uniform data has no cluster structure, so a 16k Lloyd
+        # subsample is plenty — the bench measures ADC latency, not recall
+        payload = build_pq(g, m=64, train_size=16384, iters=10)
+        stage("pq built")
+        return dict(index=payload)
+
     variants["int8"] = _int8
     variants["ivf_f32"] = _ivf
+    variants["pq"] = _pq
     unknown = [v for v in todo if v not in variants]
     if unknown:
         raise SystemExit(f"unknown variants: {unknown}")

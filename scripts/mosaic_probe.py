@@ -116,6 +116,59 @@ def probe_k3_dot():
     return name, "OK" + ("" if ok else " (WRONG VALUES)")
 
 
+def probe_take_lut():
+    """p6: dynamic 1-D table lookup from a VMEM-resident LUT (the CPU-ADC
+    access pattern a minimal Pallas PQ kernel would use, ops/pq.py)."""
+    lut = np.random.RandomState(3).randn(8, 256).astype(np.float32)
+    idx = np.random.RandomState(4).randint(0, 256, (8, 128)).astype(np.int32)
+
+    def kernel(lut_ref, idx_ref, o_ref):
+        o_ref[:] = jnp.take_along_axis(lut_ref[:], idx_ref[:], axis=1)
+
+    name = "take_along_axis LUT (8,256)[/(8,128)]"
+    try:
+        fn = pl.pallas_call(
+            kernel, out_shape=jax.ShapeDtypeStruct((8, 128), np.float32)
+        )
+        got = np.asarray(jax.jit(fn)(lut, idx))
+    except Exception as e:  # noqa: BLE001
+        return name, f"FAIL {type(e).__name__}: " + str(e).split("\n")[0][:110]
+    want = np.take_along_axis(lut, idx, axis=1)
+    ok = np.allclose(got, want, atol=1e-6)
+    return name, "OK" + ("" if ok else " (WRONG VALUES)")
+
+
+def probe_onehot_dot():
+    """p7: build a one-hot matrix IN VMEM (compare vs iota) and feed it to
+    the MXU dot without HBM materialization — the pattern that would cut
+    ops/pq.py's ADC traffic to the raw code bytes (the XLA formulation must
+    materialize the one-hot as a dot operand, ~2*ksub bytes/code byte)."""
+    ksub = 256
+    lut = np.random.RandomState(5).randn(8, ksub).astype(np.float32)
+    idx = np.random.RandomState(6).randint(0, ksub, (128,)).astype(np.int32)
+
+    def kernel(lut_ref, idx_ref, o_ref):
+        cols = jax.lax.broadcasted_iota(jnp.int32, (128, ksub), 1)
+        oh = (cols == idx_ref[0][:, None]).astype(jnp.float32)
+        o_ref[:] = jax.lax.dot_general(
+            lut_ref[:], oh,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    name = f"in-VMEM one-hot -> dot (8,{ksub})x({ksub},128)"
+    try:
+        fn = pl.pallas_call(
+            kernel, out_shape=jax.ShapeDtypeStruct((8, 128), np.float32)
+        )
+        got = np.asarray(jax.jit(fn)(lut, idx[None]))
+    except Exception as e:  # noqa: BLE001
+        return name, f"FAIL {type(e).__name__}: " + str(e).split("\n")[0][:110]
+    want = lut[:, idx]
+    ok = np.allclose(got, want, atol=1e-4)
+    return name, "OK" + ("" if ok else " (WRONG VALUES)")
+
+
 def probe_conv1_kernel():
     """The real candidate kernel on real shapes, + timing vs the XLA conv."""
     import time
@@ -167,6 +220,8 @@ def main():
         probe_sublane_offsets(),
         probe_sublane_stride2(),
         probe_k3_dot(),
+        probe_take_lut(),
+        probe_onehot_dot(),
         probe_conv1_kernel(),
     ]
     for name, status in results:

@@ -1,0 +1,201 @@
+"""Product-quantization index tests (ops/pq.py).
+
+Beyond-parity feature (no reference counterpart): correctness is defined
+against a float ADC oracle (numpy lookup-table scoring) and against exact
+scoring of the decoded gallery, plus recall-quality gates on clustered
+synthetic data.
+"""
+
+import numpy as np
+import pytest
+
+from openibl_tpu.ops.pq import (
+    build_pq, decode_pq, encode_pq, pq_search, train_pq,
+)
+
+
+def _adc_oracle(q, codes, cb):
+    """Float64 ADC: dist[i, n] = sum_m ||q_m - cb[m, codes[n, m]]||^2."""
+    qn, d = q.shape
+    m, ksub, dsub = cb.shape
+    qs = q.reshape(qn, m, dsub).astype(np.float64)
+    lut = ((qs[:, :, None, :] - cb[None].astype(np.float64)) ** 2).sum(-1)
+    # lut (Q, m, ksub); gather by codes (N, m)
+    out = np.zeros((qn, codes.shape[0]))
+    for j in range(m):
+        out += lut[:, j, codes[:, j].astype(np.int64)]
+    return out
+
+
+def _blobs(rs, n, d, n_clusters, spread=0.05):
+    centers = rs.randn(n_clusters, d).astype(np.float32)
+    labels = rs.randint(0, n_clusters, n)
+    x = centers[labels] + spread * rs.randn(n, d).astype(np.float32)
+    return x.astype(np.float32), labels
+
+
+def test_codes_shape_dtype_range():
+    rs = np.random.RandomState(0)
+    x = rs.randn(300, 32).astype(np.float32)
+    cb = train_pq(x, m=4, ksub=16, iters=5)
+    assert cb.shape == (4, 16, 8) and cb.dtype == np.float32
+    codes = encode_pq(cb, x)
+    assert codes.shape == (300, 4) and codes.dtype == np.uint8
+    assert codes.max() < 16
+
+
+def test_dim_not_divisible_raises():
+    x = np.random.RandomState(0).randn(64, 30).astype(np.float32)
+    with pytest.raises(ValueError, match="not divisible"):
+        train_pq(x, m=4, ksub=8, iters=2)
+
+
+def test_ksub_over_uint8_raises():
+    x = np.random.RandomState(0).randn(64, 32).astype(np.float32)
+    with pytest.raises(ValueError, match="uint8"):
+        train_pq(x, m=4, ksub=512, iters=2)
+
+
+def test_reconstruction_error_decreases_with_m():
+    rs = np.random.RandomState(1)
+    x, _ = _blobs(rs, 600, 32, 20)
+    errs = {}
+    for m in (2, 8):
+        cb = train_pq(x, m=m, ksub=32, iters=10, seed=0)
+        rec = decode_pq(cb, encode_pq(cb, x))
+        errs[m] = float(np.mean((x - rec) ** 2))
+    assert errs[8] < errs[2]
+
+
+def test_encode_picks_nearest_codeword():
+    """Each code must be the argmin subspace centroid (ties aside)."""
+    rs = np.random.RandomState(2)
+    x = rs.randn(100, 16).astype(np.float32)
+    cb = train_pq(x, m=4, ksub=8, iters=5)
+    codes = encode_pq(cb, x)
+    xs = x.reshape(100, 4, 4)
+    for j in range(4):
+        d = ((xs[:, j, None, :] - cb[j][None]) ** 2).sum(-1)
+        expect = d.min(axis=1)
+        got = d[np.arange(100), codes[:, j].astype(np.int64)]
+        np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-6)
+
+
+def test_pq_search_precise_matches_oracle():
+    rs = np.random.RandomState(3)
+    x = rs.randn(200, 16).astype(np.float32)
+    q = rs.randn(5, 16).astype(np.float32)
+    cb = train_pq(x, m=4, ksub=16, iters=8)
+    codes = encode_pq(cb, x)
+    d, idx = pq_search(q, codes, cb, k=10, precise=True)
+    d, idx = np.asarray(d), np.asarray(idx)
+    oracle = _adc_oracle(q, codes, cb)
+    for r in range(5):
+        order = np.argsort(oracle[r])[:10]
+        np.testing.assert_allclose(np.sort(d[r]), np.sort(oracle[r][order]),
+                                   rtol=1e-4, atol=1e-5)
+        assert set(idx[r].tolist()) == set(order.tolist())
+
+
+def test_pq_search_matches_exact_scoring_of_decoded_gallery():
+    """ADC distances ARE exact distances to the decoded codes."""
+    rs = np.random.RandomState(4)
+    x = rs.randn(150, 24).astype(np.float32)
+    q = rs.randn(3, 24).astype(np.float32)
+    cb = train_pq(x, m=6, ksub=16, iters=8)
+    codes = encode_pq(cb, x)
+    rec = decode_pq(cb, codes)
+    d_exact = ((q[:, None].astype(np.float64)
+                - rec[None].astype(np.float64)) ** 2).sum(-1)
+    d, idx = pq_search(q, codes, cb, k=5, precise=True)
+    d, idx = np.asarray(d), np.asarray(idx)
+    for r in range(3):
+        np.testing.assert_allclose(
+            d[r], d_exact[r][idx[r]], rtol=1e-4, atol=1e-5)
+
+
+def test_pq_search_bf16_close_to_oracle():
+    rs = np.random.RandomState(5)
+    x = rs.randn(400, 32).astype(np.float32)
+    q = rs.randn(4, 32).astype(np.float32)
+    cb = train_pq(x, m=8, ksub=32, iters=8)
+    codes = encode_pq(cb, x)
+    d, idx = pq_search(q, codes, cb, k=10)  # default bf16 path
+    d, idx = np.asarray(d), np.asarray(idx)
+    oracle = _adc_oracle(q, codes, cb)
+    overlaps = []
+    for r in range(4):
+        np.testing.assert_allclose(
+            d[r], oracle[r][idx[r]], rtol=2e-2, atol=1e-2)
+        top = set(np.argsort(oracle[r])[:10].tolist())
+        overlaps.append(len(top & set(idx[r].tolist())) / 10)
+    # bf16 LUT rounding may swap near-ties only
+    assert np.mean(overlaps) >= 0.8
+
+
+def test_pq_search_tiling_and_padding():
+    """Multi-tile scan with a ragged final tile matches the one-tile run."""
+    rs = np.random.RandomState(6)
+    x = rs.randn(150, 16).astype(np.float32)
+    q = rs.randn(2, 16).astype(np.float32)
+    cb = train_pq(x, m=4, ksub=16, iters=5)
+    codes = encode_pq(cb, x)
+    d1, i1 = pq_search(q, codes, cb, k=7, chunk=64, precise=True)
+    d2, i2 = pq_search(q, codes, cb, k=7, chunk=150, precise=True)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    assert (np.asarray(i1) >= 0).all() and (np.asarray(i1) < 150).all()
+
+
+def test_recall_on_clustered_gallery():
+    """Shortlist recall on planted neighbors (the PQ quality contract).
+
+    PQ cannot rank a planted row above its blob-mates once they share
+    codes (the quantizer collapses a tight blob to near-identical
+    reconstructions — that's the compression working), so the metric is
+    recall@R for a shortlist R, plus semantic top-1 (right blob), the
+    quantities FAISS benchmarks IndexPQ on."""
+    rs = np.random.RandomState(7)
+    gallery, labels = _blobs(rs, 2000, 64, 50, spread=0.05)
+    # queries are perturbed gallery rows -> unambiguous exact top-1
+    q_ids = rs.choice(2000, 32, replace=False)
+    queries = gallery[q_ids] + 0.01 * rs.randn(32, 64).astype(np.float32)
+    cb = train_pq(gallery, m=8, ksub=64, iters=15, seed=0)
+    codes = encode_pq(cb, gallery)
+    _, idx = pq_search(queries, codes, cb, k=50)
+    idx = np.asarray(idx)
+    recall50 = np.mean([q_ids[r] in idx[r] for r in range(32)])
+    recall20 = np.mean([q_ids[r] in idx[r, :20] for r in range(32)])
+    blob1 = np.mean(
+        [labels[idx[r, 0]] == labels[q_ids[r]] for r in range(32)])
+    assert recall50 >= 0.95, recall50  # measured 1.0
+    assert recall20 >= 0.8, recall20  # measured 0.91
+    assert blob1 >= 0.95, blob1  # measured 1.0
+
+    # finer quantization must lift short-shortlist recall (measured
+    # m=8 -> 0.78, m=16 -> 0.91 at R=10)
+    cb16 = train_pq(gallery, m=16, ksub=64, iters=15, seed=0)
+    _, idx16 = pq_search(queries, encode_pq(cb16, gallery), cb16, k=10)
+    idx16 = np.asarray(idx16)
+    recall10_16 = np.mean([q_ids[r] in idx16[r] for r in range(32)])
+    assert recall10_16 >= 0.85, recall10_16
+
+
+def test_build_pq_payload_keys():
+    rs = np.random.RandomState(8)
+    x = rs.randn(128, 32).astype(np.float32)
+    payload = build_pq(x, m=4, ksub=16, iters=3)
+    assert payload["pq_codebooks"].shape == (4, 16, 8)
+    assert payload["pq_codes"].shape == (128, 4)
+    assert payload["pq_codes"].dtype == np.uint8
+
+
+def test_k_clamped_to_gallery_size():
+    rs = np.random.RandomState(9)
+    x = rs.randn(6, 16).astype(np.float32)
+    cb = train_pq(x, m=4, ksub=4, iters=3)
+    codes = encode_pq(cb, x)
+    d, idx = pq_search(x[:2], codes, cb, k=50, precise=True)
+    assert np.asarray(d).shape == (2, 6)
+    assert sorted(np.asarray(idx)[0].tolist()) == list(range(6))

@@ -245,6 +245,81 @@ class TestRetrievalService:
 
 
 class TestMeshServing:
+    def test_pq_only_index_finds_self(self):
+        """Pure-PQ index (no full-width descriptors): querying with the
+        exact gallery images must return each image as its own top-1 —
+        the ADC self-distance is the reconstruction error, tiny next to
+        the ~2.0 sq-dist between unit-norm descriptors of distinct random
+        images."""
+        import jax
+
+        from openibl_tpu.hub import vgg16_netvlad
+        from openibl_tpu.ops.pq import build_pq
+
+        model, params = vgg16_netvlad(None)  # same init as the service's
+        rng = np.random.RandomState(11)
+        imgs = rng.randint(0, 256, (8, 32, 48, 3), np.uint8)
+        desc = np.asarray(jax.jit(model.apply)(params, imgs))  # (8, 4096)
+        payload = build_pq(desc, m=64, ksub=8, iters=10)
+        svc = RetrievalService(
+            {**payload,
+             "paths": np.array([f"img_{i}.jpg" for i in range(8)])},
+            height=32, width=48, batch_buckets=(1,),
+        )
+        assert svc.use_pq  # implied: no "descriptors" in the index
+        assert svc._gallery.dtype == np.uint8
+        assert svc.index_size == 8
+        for i in (0, 3, 7):
+            out = svc.query([imgs[i]], topk=3)[0]
+            assert out[0]["index"] == i
+            assert out[0]["path"] == f"img_{i}.jpg"
+            assert out[0]["sq_dist"] < out[1]["sq_dist"]
+
+    def test_pq_alongside_descriptors_is_opt_in(self):
+        from openibl_tpu.ops.pq import build_pq
+
+        rng = np.random.RandomState(12)
+        gallery = rng.randn(16, 4096).astype(np.float32)
+        index = {"descriptors": gallery, **build_pq(gallery, m=8, ksub=8,
+                                                    iters=3)}
+        exact = RetrievalService(dict(index), height=32, width=48,
+                                 batch_buckets=(1,))
+        assert not exact.use_pq and exact._gallery.dtype == np.float32
+        pq = RetrievalService(dict(index), height=32, width=48,
+                              batch_buckets=(1,), use_pq=True)
+        assert pq.use_pq and pq._gallery.dtype == np.uint8
+
+    def test_pq_option_errors(self):
+        from openibl_tpu.ops.pq import build_pq
+
+        rng = np.random.RandomState(13)
+        gallery = rng.randn(8, 4096).astype(np.float32)
+        pq_index = build_pq(gallery, m=8, ksub=8, iters=2)
+        with pytest.raises(ValueError, match="pq_codes"):
+            RetrievalService({"descriptors": gallery}, height=32, width=48,
+                             batch_buckets=(1,), use_pq=True)
+        with pytest.raises(ValueError, match="quantize_int8"):
+            RetrievalService(dict(pq_index), height=32, width=48,
+                             batch_buckets=(1,), quantize_int8=True)
+        with pytest.raises(ValueError, match="IVF"):
+            RetrievalService(dict(pq_index), height=32, width=48,
+                             batch_buckets=(1,), ivf_nprobe=4)
+
+    def test_pq_mesh_downgrades_with_warning(self):
+        from openibl_tpu.ops.pq import build_pq
+        from openibl_tpu.parallel.mesh import get_mesh
+
+        rng = np.random.RandomState(14)
+        gallery = rng.randn(16, 4096).astype(np.float32)
+        with pytest.warns(UserWarning, match="single-device"):
+            svc = RetrievalService(
+                dict(build_pq(gallery, m=8, ksub=8, iters=2)),
+                height=32, width=48, batch_buckets=(1,), mesh=get_mesh(8),
+            )
+        assert svc.mesh is None
+        out = svc.query([np.zeros((32, 48, 3), np.uint8)], topk=3)[0]
+        assert len(out) == 3
+
     def test_sharded_index_matches_single_device(self):
         """Same top-k from the mesh-sharded index (incl. a non-divisible
         gallery size that forces zero-padding) as from one device."""
