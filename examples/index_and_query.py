@@ -57,7 +57,20 @@ def build(args):
         stored = feats.astype(args.store_dtype)
         payload.update(descriptors=stored)
         search_vectors = stored.astype(np.float32)
-    if args.ivf_nlist:
+    # PQ/IVF arrays are trained on the same vectors the full-width search
+    # would run over (post store-dtype rounding) — cells/codes fit on
+    # pre-quantization floats would mis-place rows near boundaries
+    if args.pq_m and args.ivf_nlist:
+        from openibl_tpu.ops.pq import build_ivfpq
+
+        # IVFADC: ONE clustering produces both the IVF tables (usable by
+        # the full-width ivf_nprobe path) and the residual-PQ codes
+        payload.update(build_ivfpq(search_vectors, nlist=args.ivf_nlist,
+                                   m=args.pq_m))
+        print(f"IVFADC: {payload['ivf_lists'].shape[0]} cells x "
+              f"{payload['ivf_lists'].shape[1]} capacity, m={args.pq_m} "
+              f"residual codes")
+    elif args.ivf_nlist:
         from openibl_tpu.ops.ivf import build_ivf
 
         ivf = build_ivf(search_vectors, nlist=args.ivf_nlist)
@@ -65,27 +78,23 @@ def build(args):
                        ivf_lists=ivf["lists"])
         print(f"IVF: {ivf['lists'].shape[0]} cells x "
               f"{ivf['lists'].shape[1]} capacity")
-    if args.pq_m:
+    elif args.pq_m:
         from openibl_tpu.ops.pq import build_pq
 
-        # train on the same vectors the full-width search would run over
-        # (post store-dtype rounding), like the IVF build above
         payload.update(build_pq(search_vectors, m=args.pq_m))
         print(f"PQ: m={args.pq_m} -> {args.pq_m} bytes/descriptor "
               f"({feats.shape[1] * 4 // args.pq_m}x smaller than f32)")
-        if args.pq_only:
-            del payload["descriptors"]
-            payload.pop("scales", None)
-            if args.ivf_nlist:
-                raise SystemExit(
-                    "--pq-only cannot keep IVF tables (they index the "
-                    "full-width descriptors); drop --ivf-nlist")
-    elif args.pq_only:
-        raise SystemExit("--pq-only requires --pq-m")
+    if args.pq_only:
+        if not args.pq_m:
+            raise SystemExit("--pq-only requires --pq-m")
+        del payload["descriptors"]
+        payload.pop("scales", None)
     np.savez(index_path, **payload)
-    stored = (f"pq m={args.pq_m} only" if args.pq_only
-              else args.store_dtype + (f" + pq m={args.pq_m}"
-                                       if args.pq_m else ""))
+    stored = args.store_dtype
+    if args.pq_m:
+        kind = "ivfadc" if args.ivf_nlist else "pq"
+        stored = (f"{kind} m={args.pq_m} only" if args.pq_only
+                  else f"{stored} + {kind} m={args.pq_m}")
     print(f"wrote {index_path}: {feats.shape} descriptors ({stored})")
 
 
@@ -108,6 +117,19 @@ def query(args):
         d, idx = topk_nearest(jnp.asarray(desc), jnp.asarray(gallery),
                               k=min(args.topk, len(gallery)),
                               gallery_scale=scales)
+    elif "ivfpq_codes" in data.files:
+        # IVFADC-only index (--pq-m --ivf-nlist --pq-only): probe nprobe
+        # cells, ADC over their residual codes
+        from openibl_tpu.ops.pq import ivfpq_search
+
+        codes = data["ivfpq_codes"]
+        nlist = data["ivf_centroids"].shape[0]
+        d, idx = ivfpq_search(jnp.asarray(desc), jnp.asarray(codes),
+                              jnp.asarray(data["ivfpq_codebooks"]),
+                              jnp.asarray(data["ivf_centroids"]),
+                              jnp.asarray(data["ivf_lists"]),
+                              k=min(args.topk, len(codes)),
+                              nprobe=args.nprobe or max(nlist // 8, 1))
     else:  # PQ-only index (build --pq-m ... --pq-only): exhaustive ADC
         from openibl_tpu.ops.pq import pq_search
 
@@ -150,6 +172,9 @@ def main():
     q.add_argument("index")
     q.add_argument("image")
     q.add_argument("--topk", type=int, default=5)
+    q.add_argument("--nprobe", type=int, default=0,
+                   help="IVFADC-only indexes: cells probed per query "
+                        "(default nlist/8)")
     for sp in (b, q):
         sp.add_argument("--weights", type=str, default=None)
         sp.add_argument("--pca-params", type=str, default=None,

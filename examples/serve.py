@@ -91,7 +91,8 @@ def main():
                    help="serve from the index's product-quantized codes "
                         "(build --pq-m; ~256x smaller in HBM at m=64, "
                         "exhaustive-ADC search). Implied for --pq-only "
-                        "indexes")
+                        "indexes; combine with --ivf-nprobe for IVFADC "
+                        "(residual codes, probed cell-by-cell)")
     p.add_argument("--quant-backbone", action="store_true",
                    help="run the conv backbone mixed bf16/int8 "
                         "(openibl_tpu/ops/quant.py; descriptor cosine vs "

@@ -224,6 +224,106 @@ def build_pq(descriptors, m=64, ksub=256, iters=25, seed=0,
     return {"pq_codebooks": cb, "pq_codes": encode_pq(cb, descriptors)}
 
 
+def build_ivfpq(descriptors, nlist=None, m=64, ksub=256, iters=25, seed=0,
+                train_size=65536, maxlen=None):
+    """IVFADC: coarse IVF cells + PQ-encoded RESIDUALS (Jegou et al. 2011
+    §IV — FAISS's IndexIVFPQ). The coarse quantizer absorbs the gallery's
+    large-scale structure, so the PQ codebooks only have to cover the
+    much-tighter residual distribution — better codes at the same m, AND
+    the search probes nprobe cells instead of scanning all N codes.
+
+    Returns dict {"ivf_centroids", "ivf_lists", "ivfpq_codebooks",
+    "ivfpq_codes"}: the cells/lists are exactly ops.ivf.build_ivf's (an
+    index .npz can carry full-width descriptors + these arrays and serve
+    exact / IVF / IVFADC from the same artifact); codes are (N, m) uint8
+    of (x - centroid[cell(x)]). ``descriptors`` may be a device array; the
+    cell build needs one host pass (greedy capacity fill) either way.
+    """
+    from openibl_tpu.ops.ivf import build_ivf
+
+    x = jnp.asarray(descriptors, jnp.float32)
+    ivf = build_ivf(np.asarray(x), nlist=nlist, maxlen=maxlen, seed=seed,
+                    train_size=train_size)
+    centroids = jnp.asarray(ivf["centroids"])
+    lists = np.asarray(ivf["lists"])
+    # invert lists -> per-row cell id (every row appears exactly once)
+    n = x.shape[0]
+    cell_of = np.empty(n, np.int32)
+    valid = lists >= 0
+    cell_of[lists[valid]] = np.nonzero(valid)[0]  # row of lists = cell id
+    residuals = x - jnp.take(centroids, jnp.asarray(cell_of), axis=0)
+    cb = train_pq(residuals, m=m, ksub=ksub, iters=iters, seed=seed,
+                  train_size=train_size)
+    return {"ivf_centroids": ivf["centroids"], "ivf_lists": ivf["lists"],
+            "ivfpq_codebooks": cb,
+            "ivfpq_codes": encode_pq(cb, residuals)}
+
+
+@functools.partial(jax.jit, static_argnames=("k", "nprobe"))
+def ivfpq_search(query, codes, codebooks, centroids, lists, k, nprobe):
+    """Approximate k-NN over residual-PQ codes via the nprobe nearest cells.
+
+    query (Q, D) f32; codes (N, m) uint8 residual codes, codebooks
+    (m, ksub, dsub), centroids (nlist, D), lists (nlist, maxlen) from
+    build_ivfpq. Returns (adc_sq_dists (Q, k), indices (Q, k)); unfilled
+    slots are (inf, -1). Distances are ADC vs centroid[cell] + decode(code)
+    — exact over the probed subset's reconstructions.
+
+    Per probe rank the LUT is rebuilt against the probed cell's residual
+    frame ((q - c) vs the codebooks — one small batched einsum), and the
+    cell's codes score via a vmapped take_along_axis from the (m, ksub)
+    LUT: the per-cell candidate set (maxlen rows) is too small to win
+    back the one-hot matmul's materialization cost that pq_search's
+    full-scan amortizes, while the LUT operand is tiny and VMEM-resident.
+    """
+    q = jnp.asarray(query, jnp.float32)
+    cb = jnp.asarray(codebooks, jnp.float32)
+    c = jnp.asarray(centroids, jnp.float32)
+    m, ksub, dsub = cb.shape
+    nlist = c.shape[0]
+    nprobe = min(nprobe, nlist)
+    k = min(k, codes.shape[0])
+    qn = q.shape[0]
+
+    # coarse ranking (HIGHEST like ivf_search: probe-set stability)
+    qc = jnp.dot(q, c.T, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
+    c2 = jnp.sum(jnp.square(c), axis=1)[None, :]
+    _, probe_ids = jax.lax.top_k(-(c2 - 2.0 * qc), nprobe)  # (Q, nprobe)
+
+    init = (jnp.full((qn, k), jnp.inf, jnp.float32),
+            jnp.full((qn, k), -1, jnp.int32))
+
+    def body(carry, j):
+        best_d, best_i = carry
+        cid = probe_ids[:, j]  # (Q,)
+        r = q - jnp.take(c, cid, axis=0)  # (Q, D) residual frame
+        rm = _split_subspaces(r, m)  # (m, Q, dsub)
+        lut = jnp.transpose(_sub_d2(rm, cb), (1, 0, 2))  # (Q, m, ksub)
+        ids = jnp.take(lists, cid, axis=0)  # (Q, maxlen)
+        safe = jnp.maximum(ids, 0)
+        ctile = jnp.take(codes, safe.reshape(-1), axis=0).astype(jnp.int32)
+        ctile = ctile.reshape(qn, -1, m)  # (Q, maxlen, m)
+
+        def adc_one(lut_q, codes_q):
+            # lut_q (m, ksub); codes_q (T, m) -> (T,)
+            vals = jnp.take_along_axis(lut_q, codes_q.T, axis=1)  # (m, T)
+            return jnp.sum(vals, axis=0)
+
+        d = jax.vmap(adc_one)(lut, ctile)  # (Q, maxlen)
+        d = jnp.where(ids < 0, jnp.inf, d)
+        kk = min(k, d.shape[1])
+        neg_d, pos = jax.lax.top_k(-d, kk)
+        tile_idx = jnp.take_along_axis(ids, pos, axis=1)
+        md = jnp.concatenate([best_d, -neg_d], axis=1)
+        mi = jnp.concatenate([best_i, tile_idx], axis=1)
+        neg_d, pos = jax.lax.top_k(-md, k)
+        return (-neg_d, jnp.take_along_axis(mi, pos, axis=1)), None
+
+    (best_d, best_i), _ = jax.lax.scan(body, init, jnp.arange(nprobe))
+    return best_d, best_i
+
+
 @functools.partial(jax.jit, static_argnames=("k", "chunk", "precise"))
 def pq_search(query, codes, codebooks, k, chunk=None, precise=False):
     """Exhaustive-ADC k nearest codes per query row.

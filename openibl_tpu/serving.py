@@ -105,10 +105,11 @@ class RetrievalService:
         self._pq_codebooks = None
         self.use_pq = bool(use_pq) or "descriptors" not in index
         if self.use_pq:
-            if "pq_codes" not in index:
+            if "pq_codes" not in index and "ivfpq_codes" not in index:
                 raise ValueError(
-                    "PQ serving needs 'pq_codes'/'pq_codebooks' in the "
-                    "index — rebuild with index_and_query.py build --pq-m"
+                    "PQ serving needs 'pq_codes'/'pq_codebooks' (or IVFADC "
+                    "'ivfpq_*') in the index — rebuild with "
+                    "index_and_query.py build --pq-m"
                 )
             if quantize_int8:
                 raise ValueError(
@@ -116,11 +117,24 @@ class RetrievalService:
                     "already 1 byte per subspace)"
                 )
             if ivf_nprobe:
+                # IVFADC: residual codes scored cell-by-cell (ops.pq
+                # ivfpq_search). Plain pq_codes canNOT be probed — they
+                # encode absolute vectors, not per-cell residuals.
+                if "ivfpq_codes" not in index:
+                    raise ValueError(
+                        "IVF+PQ serving needs residual codes "
+                        "('ivfpq_codes') — rebuild with "
+                        "index_and_query.py build --pq-m --ivf-nlist"
+                    )
+                gallery = np.ascontiguousarray(index["ivfpq_codes"],
+                                               np.uint8)
+            elif "pq_codes" in index:
+                gallery = np.ascontiguousarray(index["pq_codes"], np.uint8)
+            else:
                 raise ValueError(
-                    "IVF routing over a PQ index is not supported — use "
-                    "ivf_nprobe with a full-width index, or use_pq alone"
+                    "index carries only IVFADC residual codes (scored in "
+                    "a probed cell's residual frame) — pass ivf_nprobe"
                 )
-            gallery = np.ascontiguousarray(index["pq_codes"], np.uint8)
             scales = None
         else:
             gallery = np.ascontiguousarray(index["descriptors"])
@@ -211,23 +225,34 @@ class RetrievalService:
             )
 
         if self.use_pq:
-            from openibl_tpu.ops.pq import pq_search
+            from openibl_tpu.ops.pq import ivfpq_search, pq_search
 
+            cb_key = "ivfpq_codebooks" if self.ivf_nprobe else "pq_codebooks"
             self._gallery = jnp.asarray(gallery)  # (N, m) uint8 codes
             self._scale = None
-            self._pq_codebooks = jnp.asarray(
-                index["pq_codebooks"], jnp.float32)
+            self._pq_codebooks = jnp.asarray(index[cb_key], jnp.float32)
             if (self._pq_codebooks.shape[0] != gallery.shape[1]
                     or self._pq_codebooks.ndim != 3):
                 raise ValueError(
-                    f"pq_codebooks shape {self._pq_codebooks.shape} does "
+                    f"{cb_key} shape {self._pq_codebooks.shape} does "
                     f"not match codes (N, m={gallery.shape[1]})"
                 )
             fwd = jax.jit(self._model.apply)
 
-            def run(params, images, gallery, k):
-                return pq_search(fwd(params, images), gallery,
-                                 self._pq_codebooks, k=k)
+            if self.ivf_nprobe:
+                self._ivf_centroids = jnp.asarray(
+                    index["ivf_centroids"], jnp.float32)
+                self._ivf_lists = jnp.asarray(index["ivf_lists"], jnp.int32)
+
+                def run(params, images, gallery, k):
+                    return ivfpq_search(
+                        fwd(params, images), gallery, self._pq_codebooks,
+                        self._ivf_centroids, self._ivf_lists,
+                        k=k, nprobe=self.ivf_nprobe)
+            else:
+                def run(params, images, gallery, k):
+                    return pq_search(fwd(params, images), gallery,
+                                     self._pq_codebooks, k=k)
 
             self._run = run
             return

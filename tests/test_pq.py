@@ -10,7 +10,8 @@ import numpy as np
 import pytest
 
 from openibl_tpu.ops.pq import (
-    build_pq, decode_pq, encode_pq, pq_search, train_pq,
+    build_ivfpq, build_pq, decode_pq, encode_pq, ivfpq_search, pq_search,
+    train_pq,
 )
 
 
@@ -189,6 +190,116 @@ def test_build_pq_payload_keys():
     assert payload["pq_codebooks"].shape == (4, 16, 8)
     assert payload["pq_codes"].shape == (128, 4)
     assert payload["pq_codes"].dtype == np.uint8
+
+
+def _ivfpq_oracle(q, payload):
+    """Float64 IVFADC with nprobe=nlist: ADC distance of every row in its
+    own cell's residual frame — the exact quantity ivfpq_search scores."""
+    cb = payload["ivfpq_codebooks"].astype(np.float64)
+    codes = payload["ivfpq_codes"].astype(np.int64)
+    cents = payload["ivf_centroids"].astype(np.float64)
+    lists = payload["ivf_lists"]
+    n = codes.shape[0]
+    cell_of = np.empty(n, np.int64)
+    valid = lists >= 0
+    cell_of[lists[valid]] = np.nonzero(valid)[0]
+    m, ksub, dsub = cb.shape
+    out = np.zeros((q.shape[0], n))
+    for qi in range(q.shape[0]):
+        for row in range(n):
+            r = q[qi].astype(np.float64) - cents[cell_of[row]]
+            rs = r.reshape(m, dsub)
+            out[qi, row] = sum(
+                ((rs[j] - cb[j, codes[row, j]]) ** 2).sum() for j in range(m)
+            )
+    return out
+
+
+class TestIVFPQ:
+    def test_payload_shapes_and_partition(self):
+        rs = np.random.RandomState(20)
+        x = rs.randn(300, 32).astype(np.float32)
+        p = build_ivfpq(x, nlist=8, m=4, ksub=16, iters=5)
+        assert p["ivfpq_codes"].shape == (300, 4)
+        assert p["ivfpq_codes"].dtype == np.uint8
+        assert p["ivfpq_codebooks"].shape == (4, 16, 8)
+        ids = p["ivf_lists"][p["ivf_lists"] >= 0]
+        assert sorted(ids.tolist()) == list(range(300))  # exact partition
+
+    def test_full_probe_matches_oracle(self):
+        """nprobe=nlist is exhaustive: distances/ids must equal the float
+        IVFADC oracle over all rows."""
+        rs = np.random.RandomState(21)
+        x = rs.randn(120, 16).astype(np.float32)
+        q = rs.randn(3, 16).astype(np.float32)
+        p = build_ivfpq(x, nlist=4, m=4, ksub=16, iters=5)
+        d, idx = ivfpq_search(q, p["ivfpq_codes"], p["ivfpq_codebooks"],
+                              p["ivf_centroids"], p["ivf_lists"],
+                              k=10, nprobe=4)
+        d, idx = np.asarray(d), np.asarray(idx)
+        oracle = _ivfpq_oracle(q, p)
+        for r in range(3):
+            order = np.argsort(oracle[r])[:10]
+            np.testing.assert_allclose(
+                np.sort(d[r]), np.sort(oracle[r][order]),
+                rtol=1e-4, atol=1e-5)
+            assert set(idx[r].tolist()) == set(order.tolist())
+
+    def test_residual_codes_beat_plain_pq(self):
+        """The coarse quantizer absorbs the blob structure, so residual-PQ
+        reconstruction error must undercut plain PQ at the same m."""
+        rs = np.random.RandomState(22)
+        centers = rs.randn(30, 32).astype(np.float32) * 3.0
+        labels = rs.randint(0, 30, 1500)
+        x = (centers[labels] + 0.2 * rs.randn(1500, 32)).astype(np.float32)
+
+        cb = train_pq(x, m=4, ksub=32, iters=10)
+        plain_err = float(np.mean(
+            (x - decode_pq(cb, encode_pq(cb, x))) ** 2))
+
+        p = build_ivfpq(x, nlist=32, m=4, ksub=32, iters=10)
+        cell_of = np.empty(1500, np.int64)
+        valid = p["ivf_lists"] >= 0
+        cell_of[p["ivf_lists"][valid]] = np.nonzero(valid)[0]
+        rec = (p["ivf_centroids"][cell_of]
+               + decode_pq(p["ivfpq_codebooks"], p["ivfpq_codes"]))
+        ivf_err = float(np.mean((x - rec) ** 2))
+        assert ivf_err < plain_err, (ivf_err, plain_err)
+
+    def test_recall_with_partial_probe(self):
+        """Planted queries: nprobe=4 of 16 cells keeps shortlist recall."""
+        rs = np.random.RandomState(23)
+        centers = rs.randn(40, 64).astype(np.float32)
+        labels = rs.randint(0, 40, 2000)
+        gallery = (centers[labels]
+                   + 0.05 * rs.randn(2000, 64)).astype(np.float32)
+        q_ids = rs.choice(2000, 24, replace=False)
+        queries = (gallery[q_ids]
+                   + 0.01 * rs.randn(24, 64)).astype(np.float32)
+        p = build_ivfpq(gallery, nlist=16, m=8, ksub=64, iters=10)
+        _, idx = ivfpq_search(queries, p["ivfpq_codes"],
+                              p["ivfpq_codebooks"], p["ivf_centroids"],
+                              p["ivf_lists"], k=50, nprobe=4)
+        idx = np.asarray(idx)
+        recall50 = np.mean([q_ids[r] in idx[r] for r in range(24)])
+        blob1 = np.mean(
+            [labels[idx[r, 0]] == labels[q_ids[r]] for r in range(24)])
+        assert recall50 >= 0.9, recall50
+        assert blob1 >= 0.9, blob1
+
+    def test_unfilled_slots_are_inf(self):
+        rs = np.random.RandomState(24)
+        x = rs.randn(40, 16).astype(np.float32)
+        p = build_ivfpq(x, nlist=8, m=4, ksub=8, iters=3)
+        d, idx = ivfpq_search(x[:2], p["ivfpq_codes"],
+                              p["ivfpq_codebooks"], p["ivf_centroids"],
+                              p["ivf_lists"], k=30, nprobe=1)
+        d, idx = np.asarray(d), np.asarray(idx)
+        # one cell holds at most maxlen=10 rows -> the rest must be padded
+        assert (idx[0] == -1).any()
+        assert np.isinf(d[0][idx[0] == -1]).all()
+        filled = idx[0] >= 0
+        assert np.isfinite(d[0][filled]).all()
 
 
 def test_k_clamped_to_gallery_size():

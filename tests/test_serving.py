@@ -305,6 +305,43 @@ class TestMeshServing:
             RetrievalService(dict(pq_index), height=32, width=48,
                              batch_buckets=(1,), ivf_nprobe=4)
 
+    def test_ivfpq_index_finds_self(self):
+        """IVFADC serving (use_pq + ivf_nprobe over residual codes): each
+        gallery image is its own top-1 when queried back."""
+        import jax
+
+        from openibl_tpu.hub import vgg16_netvlad
+        from openibl_tpu.ops.pq import build_ivfpq
+
+        model, params = vgg16_netvlad(None)
+        rng = np.random.RandomState(15)
+        imgs = rng.randint(0, 256, (12, 32, 48, 3), np.uint8)
+        desc = np.asarray(jax.jit(model.apply)(params, imgs))
+        payload = build_ivfpq(desc, nlist=4, m=64, ksub=8, iters=10)
+        svc = RetrievalService(dict(payload), height=32, width=48,
+                               batch_buckets=(1,), ivf_nprobe=4)
+        assert svc.use_pq and svc.ivf_nprobe == 4
+        assert svc._gallery.dtype == np.uint8
+        for i in (0, 5, 11):
+            out = svc.query([imgs[i]], topk=3)[0]
+            assert out[0]["index"] == i
+
+    def test_ivfadc_only_index_requires_nprobe(self):
+        """Residual codes can't be scored without probing; the error must
+        say to pass ivf_nprobe."""
+        from openibl_tpu.ops.pq import build_ivfpq
+
+        rng = np.random.RandomState(16)
+        gallery = rng.randn(32, 4096).astype(np.float32)
+        payload = build_ivfpq(gallery, nlist=4, m=8, ksub=8, iters=2)
+        with pytest.raises(ValueError, match="ivf_nprobe"):
+            RetrievalService(dict(payload), height=32, width=48,
+                             batch_buckets=(1,))
+        svc = RetrievalService(dict(payload), height=32, width=48,
+                               batch_buckets=(1,), ivf_nprobe=2)
+        out = svc.query([np.zeros((32, 48, 3), np.uint8)], topk=3)[0]
+        assert len(out) == 3
+
     def test_pq_mesh_downgrades_with_warning(self):
         from openibl_tpu.ops.pq import build_pq
         from openibl_tpu.parallel.mesh import get_mesh
