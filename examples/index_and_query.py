@@ -20,6 +20,11 @@ IMAGE_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
 
 
 def build(args):
+    if args.pq_only and not args.pq_m:
+        # validate BEFORE the gallery extraction — failing after hours of
+        # descriptor computation over a real gallery discards all the work
+        raise SystemExit("--pq-only requires --pq-m")
+
     from openibl_tpu.hub import vgg16_netvlad
     from openibl_tpu.data.loader import ImageSource, BatchLoader
     from openibl_tpu.data.transforms import TestTransform
@@ -84,9 +89,7 @@ def build(args):
         payload.update(build_pq(search_vectors, m=args.pq_m))
         print(f"PQ: m={args.pq_m} -> {args.pq_m} bytes/descriptor "
               f"({feats.shape[1] * 4 // args.pq_m}x smaller than f32)")
-    if args.pq_only:
-        if not args.pq_m:
-            raise SystemExit("--pq-only requires --pq-m")
+    if args.pq_only:  # arg combo validated at the top of build()
         del payload["descriptors"]
         payload.pop("scales", None)
     np.savez(index_path, **payload)
@@ -138,8 +141,13 @@ def query(args):
                            jnp.asarray(data["pq_codebooks"]),
                            k=min(args.topk, len(codes)))
     d, idx = np.asarray(d)[0], np.asarray(idx)[0]
-    print(f"top-{len(idx)} matches for {args.image}:")
-    for rank, (i, dist) in enumerate(zip(idx, d), 1):
+    # drop unfilled (inf, -1) slots — a low-nprobe IVF/IVFADC probe can
+    # return fewer than topk candidates, and paths[-1] would silently show
+    # the LAST gallery image as a phantom match (serving._query_batch
+    # filters the same way)
+    filled = [(i, dist) for i, dist in zip(idx, d) if i >= 0]
+    print(f"top-{len(filled)} matches for {args.image}:")
+    for rank, (i, dist) in enumerate(filled, 1):
         print(f"  {rank}. {paths[i]}  (sq-dist {dist:.4f})")
 
 

@@ -27,6 +27,16 @@ def p50(samples):
     return float(np.percentile(np.asarray(samples), 50))
 
 
+def _flush(results, out):
+    """Incremental + atomic artifact write: a timeout mid-suite still
+    leaves every completed row on disk (shared by both passes)."""
+    import json
+
+    tmp = out.with_suffix(out.suffix + ".tmp")
+    tmp.write_text(json.dumps(results, indent=1))
+    tmp.replace(out)
+
+
 def _device_time_pass(args, results, todo, g_dev, stage, out):
     """Per-variant DEVICE latency: one jitted lax.scan of scan_n queries
     (image generated in-body -> model forward -> search), one dispatch —
@@ -92,11 +102,6 @@ def _device_time_pass(args, results, todo, g_dev, stage, out):
         stage("pq built (on device)")
         searches["pq"] = lambda d: pq_search(d, pq_codes, pq_cb, k=10)[1]
 
-    def flush():
-        tmp = out.with_suffix(out.suffix + ".tmp")
-        tmp.write_text(json.dumps(results, indent=1))
-        tmp.replace(out)
-
     n = args.scan_n
     keys = jax.random.split(jax.random.PRNGKey(2), n)
     for name in todo:
@@ -120,7 +125,7 @@ def _device_time_pass(args, results, todo, g_dev, stage, out):
         row["device_ms_per_query"] = round(ms, 2)
         row["device_scan_n"] = n
         print(f"{name}: device {ms:.2f} ms/query (scan of {n})", flush=True)
-        flush()
+        _flush(results, out)
     print(json.dumps({"artifact": str(out), "ok": True,
                       "mode": "device-time"}))
 
@@ -192,12 +197,22 @@ def main():
         except (json.JSONDecodeError, OSError):
             pass
     wanted = [v for v in args.variants.split(",") if v]
+    known = {"f32", "f16", "int8", "ivf_f32", "pq"}
+    unknown = [v for v in wanted if v not in known]
+    if unknown:
+        raise SystemExit(f"unknown variants: {unknown}")
+    # each pass resumes on ITS OWN key ("bs1" p50 table vs
+    # device_ms_per_query): a row holding only the other pass's result must
+    # not mark this pass complete — a --device-time run creating a bare
+    # {'device_ms_per_query': ...} row would otherwise silently swallow a
+    # later synchronous run of the same variant
     if args.device_time:
         todo = [v for v in wanted
                 if "device_ms_per_query"
                 not in results["variants"].get(v, {})]
     else:
-        todo = [v for v in wanted if v not in results["variants"]]
+        todo = [v for v in wanted
+                if "bs1" not in results["variants"].get(v, {})]
     if not todo:
         print(json.dumps({"artifact": str(out), "ok": True,
                           "skipped": "all variants already captured"}))
@@ -256,17 +271,6 @@ def main():
     variants["int8"] = _int8
     variants["ivf_f32"] = _ivf
     variants["pq"] = _pq
-    unknown = [v for v in todo if v not in variants]
-    if unknown:
-        raise SystemExit(f"unknown variants: {unknown}")
-
-    def flush_artifact():
-        # incremental + atomic: a timeout mid-suite still leaves every
-        # completed variant's table on disk
-        tmp = out.with_suffix(out.suffix + ".tmp")
-        tmp.write_text(json.dumps(results, indent=1))
-        tmp.replace(out)
-
     rng = np.random.default_rng(1)  # query images only (tiny host work)
     for name in todo:
         kw = variants[name]()
@@ -294,8 +298,10 @@ def main():
             print(f"{name} bs{bucket}: p50 {table[f'bs{bucket}']['p50_ms']} ms"
                   f" ({table[f'bs{bucket}']['p50_ms_per_image']} ms/img)",
                   flush=True)
-        results["variants"][name] = table
-        flush_artifact()
+        # merge, don't replace: a device-time pass may already have written
+        # device_ms_per_query into this variant's row
+        results["variants"].setdefault(name, {}).update(table)
+        _flush(results, out)
         del svc
 
     print(json.dumps({"artifact": str(out), "ok": True}))
