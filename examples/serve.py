@@ -93,6 +93,12 @@ def main():
                         "exhaustive-ADC search). Implied for --pq-only "
                         "indexes; combine with --ivf-nprobe for IVFADC "
                         "(residual codes, probed cell-by-cell)")
+    p.add_argument("--pq-rerank", type=int, default=0,
+                   help=">0 = ADC shortlist of this size over the PQ "
+                        "codes, exact re-rank against the full-width "
+                        "descriptors (index needs --pq-m without "
+                        "--pq-only): exact-quality results reading "
+                        "~D*dtype/m x less index per query")
     p.add_argument("--quant-backbone", action="store_true",
                    help="run the conv backbone mixed bf16/int8 "
                         "(openibl_tpu/ops/quant.py; descriptor cosine vs "
@@ -113,7 +119,7 @@ def main():
                                ivf_nprobe=args.ivf_nprobe,
                                pca_params=args.pca_params,
                                quant_backbone=args.quant_backbone,
-                               use_pq=args.pq)
+                               use_pq=args.pq, pq_rerank=args.pq_rerank)
     print(f"warming {len(service.buckets)} batch buckets over "
           f"{service.index_size}-image index ...")
     service.warmup()

@@ -224,6 +224,51 @@ def build_pq(descriptors, m=64, ksub=256, iters=25, seed=0,
     return {"pq_codebooks": cb, "pq_codes": encode_pq(cb, descriptors)}
 
 
+@functools.partial(jax.jit, static_argnames=("k", "shortlist", "chunk"))
+def pq_search_rerank(query, codes, codebooks, gallery, k, shortlist=None,
+                     chunk=None, gallery_scale=None, gallery_sqnorm=None):
+    """ADC shortlist + exact re-rank: exact-quality top-k at code-scan cost.
+
+    The ADC pass (pq_search) ranks ALL N codes reading only m bytes/row;
+    the top ``shortlist`` (default 8k, clamped to N) candidates then gather
+    their FULL-width gallery rows and re-rank by exact squared L2 — so the
+    result matches the exact scan whenever the true top-k survives the
+    shortlist (gated at ~recall@shortlist, tests/test_pq.py). For galleries
+    where full-width still FITS but a whole-index scan per query is the
+    bottleneck (1-3M rows at f16/int8), this reads N·m bytes + shortlist
+    full rows instead of N·D — with the gallery in its storage dtype
+    (f16/int8 per-row scales supported like ops.distance.topk_nearest).
+
+    Returns (exact sq_dists (Q, k), indices (Q, k)).
+    """
+    q = jnp.asarray(query, jnp.float32)
+    g = jnp.asarray(gallery)
+    n = g.shape[0]
+    k = min(k, n)
+    if shortlist is None:
+        shortlist = 8 * k
+    shortlist = min(max(shortlist, k), n)
+    _, cand = pq_search(q, codes, codebooks, k=shortlist, chunk=chunk)
+    rows = jnp.take(g, cand.reshape(-1), axis=0).astype(jnp.float32)
+    if gallery_scale is not None:
+        s = jnp.take(jnp.asarray(gallery_scale, jnp.float32),
+                     cand.reshape(-1))
+        rows = rows * s[:, None]
+    rows = rows.reshape(cand.shape + (g.shape[1],))  # (Q, S, D)
+    if gallery_sqnorm is not None:
+        t2 = jnp.take(jnp.asarray(gallery_sqnorm, jnp.float32),
+                      cand.reshape(-1)).reshape(cand.shape)
+    else:
+        t2 = jnp.sum(jnp.square(rows), axis=2)
+    q2 = jnp.sum(jnp.square(q), axis=1, keepdims=True)
+    d = (q2 + t2
+         - 2.0 * jnp.einsum("qd,qsd->qs", q, rows,
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST))
+    neg_d, pos = jax.lax.top_k(-d, k)
+    return -neg_d, jnp.take_along_axis(cand, pos, axis=1)
+
+
 def build_ivfpq(descriptors, nlist=None, m=64, ksub=256, iters=25, seed=0,
                 train_size=65536, maxlen=None):
     """IVFADC: coarse IVF cells + PQ-encoded RESIDUALS (Jegou et al. 2011

@@ -82,12 +82,20 @@ class RetrievalService:
         by exhaustive ADC. Implied when the index carries ONLY PQ arrays
         (built with --pq-only). Approximate: distances are to the decoded
         codes; use for galleries too large for a full-width index.
+      pq_rerank: >0 = ADC-shortlist-then-exact-re-rank (ops.pq
+        pq_search_rerank): the PQ codes rank ALL rows reading m bytes
+        each, the top ``pq_rerank`` candidates re-rank by exact distance
+        against the full-width descriptors — exact-quality results while
+        reading ~D·dtype/m x less index per query. Needs BOTH
+        "pq_codes" and "descriptors" in the index (build --pq-m without
+        --pq-only); composes with f16/int8 descriptor storage.
     """
 
     def __init__(self, index, weights=None, height=480, width=640,
                  batch_buckets=_BATCH_BUCKETS, mesh=None,
                  quantize_int8=False, ivf_nprobe=0, pca_params=None,
-                 quant_backbone=False, calib_images=None, use_pq=False):
+                 quant_backbone=False, calib_images=None, use_pq=False,
+                 pq_rerank=0):
         import jax
         import jax.numpy as jnp
 
@@ -103,7 +111,28 @@ class RetrievalService:
             index = {k: data[k] for k in data.files}
         self.paths = [str(p) for p in index.get("paths", [])]
         self._pq_codebooks = None
+        self.pq_rerank = int(pq_rerank)
         self.use_pq = bool(use_pq) or "descriptors" not in index
+        if self.pq_rerank:
+            # shortlist-then-exact mode: gallery prep follows the
+            # full-width path below; only the search routing differs
+            if "descriptors" not in index:
+                raise ValueError(
+                    "pq_rerank needs full-width descriptors alongside the "
+                    "codes (build --pq-m WITHOUT --pq-only); a codes-only "
+                    "index serves with use_pq alone"
+                )
+            if "pq_codes" not in index:
+                raise ValueError(
+                    "pq_rerank needs 'pq_codes' in the index — rebuild "
+                    "with index_and_query.py build --pq-m"
+                )
+            if ivf_nprobe:
+                raise ValueError(
+                    "pq_rerank shortlists via the exhaustive ADC scan — "
+                    "drop ivf_nprobe (or use use_pq+ivf_nprobe for IVFADC)"
+                )
+            self.use_pq = False
         if self.use_pq:
             if "pq_codes" not in index and "ivfpq_codes" not in index:
                 raise ValueError(
@@ -198,13 +227,13 @@ class RetrievalService:
                 self._model, self._params, jnp.asarray(calib_images)
             )
         self._lock = threading.Lock()  # serialize device work per process
-        if self.use_pq and mesh is not None:
+        if (self.use_pq or self.pq_rerank) and mesh is not None:
             import warnings
 
             warnings.warn(
                 "PQ serving is single-device (codes are ~D*4/m x smaller "
                 "than the f32 index the sharded path exists for); serving "
-                "the codes from the default device", stacklevel=2)
+                "from the default device", stacklevel=2)
             mesh = None
         self.mesh = mesh
 
@@ -327,7 +356,21 @@ class RetrievalService:
                                     gallery_scale=self._scale,
                                     gallery_sqnorm=self._sqnorm)
 
-            if self.ivf_nprobe:
+            if self.pq_rerank:
+                from openibl_tpu.ops.pq import pq_search_rerank
+
+                self._pq_codes = jnp.asarray(index["pq_codes"])
+                self._pq_codebooks = jnp.asarray(
+                    index["pq_codebooks"], jnp.float32)
+
+                def run(params, images, gallery, k):
+                    return pq_search_rerank(
+                        fwd(params, images), self._pq_codes,
+                        self._pq_codebooks, gallery, k,
+                        shortlist=self.pq_rerank,
+                        gallery_scale=self._scale,
+                        gallery_sqnorm=self._sqnorm)
+            elif self.ivf_nprobe:
                 from openibl_tpu.ops.ivf import ivf_search
 
                 self._ivf_centroids = jnp.asarray(

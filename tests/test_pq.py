@@ -11,7 +11,7 @@ import pytest
 
 from openibl_tpu.ops.pq import (
     build_ivfpq, build_pq, decode_pq, encode_pq, ivfpq_search, pq_search,
-    train_pq,
+    pq_search_rerank, train_pq,
 )
 
 
@@ -190,6 +190,55 @@ def test_build_pq_payload_keys():
     assert payload["pq_codebooks"].shape == (4, 16, 8)
     assert payload["pq_codes"].shape == (128, 4)
     assert payload["pq_codes"].dtype == np.uint8
+
+
+class TestPQRerank:
+    def _world(self, seed=30, n=1200, d=64, blobs=40):
+        rs = np.random.RandomState(seed)
+        gallery, _ = _blobs(rs, n, d, blobs, spread=0.05)
+        queries = (gallery[rs.choice(n, 16, replace=False)]
+                   + 0.01 * rs.randn(16, d)).astype(np.float32)
+        cb = train_pq(gallery, m=8, ksub=64, iters=10, seed=0)
+        return gallery, queries, cb, encode_pq(cb, gallery)
+
+    def test_matches_exact_scan(self):
+        """With a shortlist that covers the true top-k (recall@shortlist
+        ~1.0 on this data), the re-rank must return exactly the exact
+        scan's ids and distances."""
+        from openibl_tpu.ops.distance import topk_nearest
+
+        gallery, queries, cb, codes = self._world()
+        d_ex, i_ex = topk_nearest(queries, gallery, k=5)
+        d_rr, i_rr = pq_search_rerank(queries, codes, cb, gallery,
+                                      k=5, shortlist=100)
+        np.testing.assert_array_equal(np.asarray(i_rr), np.asarray(i_ex))
+        # f32 accumulation-order noise between the gathered (Q,S,D) einsum
+        # and the full-scan formulation: measured max |diff| 1.5e-5
+        np.testing.assert_allclose(np.asarray(d_rr), np.asarray(d_ex),
+                                   rtol=1e-2, atol=5e-5)
+
+    def test_int8_gallery_scales(self):
+        """Re-rank against an int8 gallery dequantizes the gathered rows
+        (same contract as topk_nearest's gallery_scale)."""
+        from openibl_tpu.ops.distance import (
+            quantize_index_int8, topk_nearest,
+        )
+
+        gallery, queries, cb, codes = self._world(seed=31)
+        g8, scales = quantize_index_int8(gallery)
+        d_ex, i_ex = topk_nearest(queries, g8, k=5, gallery_scale=scales)
+        d_rr, i_rr = pq_search_rerank(queries, codes, cb, g8, k=5,
+                                      shortlist=100, gallery_scale=scales)
+        np.testing.assert_array_equal(np.asarray(i_rr), np.asarray(i_ex))
+        np.testing.assert_allclose(np.asarray(d_rr), np.asarray(d_ex),
+                                   rtol=1e-3, atol=1e-4)
+
+    def test_shortlist_clamps(self):
+        gallery, queries, cb, codes = self._world(seed=32, n=40)
+        d, idx = pq_search_rerank(queries[:2], codes, cb, gallery,
+                                  k=50, shortlist=10_000)
+        assert np.asarray(d).shape == (2, 40)  # k and shortlist clamp to N
+        assert sorted(np.asarray(idx)[0].tolist()) == list(range(40))
 
 
 def _ivfpq_oracle(q, payload):

@@ -342,6 +342,46 @@ class TestMeshServing:
         out = svc.query([np.zeros((32, 48, 3), np.uint8)], topk=3)[0]
         assert len(out) == 3
 
+    def test_pq_rerank_matches_exact_service(self):
+        """pq_rerank with a covering shortlist returns the exact service's
+        ranking (ADC shortlist + full-width re-rank)."""
+        from openibl_tpu.ops.pq import build_pq
+
+        rng = np.random.RandomState(17)
+        gallery = rng.randn(48, 4096).astype(np.float32)
+        gallery /= np.linalg.norm(gallery, axis=1, keepdims=True)
+        index = {"descriptors": gallery,
+                 **build_pq(gallery, m=64, ksub=16, iters=5)}
+        img = rng.randint(0, 256, (32, 48, 3), np.uint8)
+        exact = RetrievalService({"descriptors": gallery}, height=32,
+                                 width=48, batch_buckets=(1,))
+        rr = RetrievalService(dict(index), height=32, width=48,
+                              batch_buckets=(1,), pq_rerank=48)
+        assert not rr.use_pq and rr.pq_rerank == 48
+        a = exact.query([img], topk=5)[0]
+        b = rr.query([img], topk=5)[0]
+        assert [m["index"] for m in a] == [m["index"] for m in b]
+        np.testing.assert_allclose([m["sq_dist"] for m in a],
+                                   [m["sq_dist"] for m in b],
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_pq_rerank_option_errors(self):
+        from openibl_tpu.ops.pq import build_pq
+
+        rng = np.random.RandomState(18)
+        gallery = rng.randn(8, 4096).astype(np.float32)
+        pq = build_pq(gallery, m=8, ksub=8, iters=2)
+        with pytest.raises(ValueError, match="full-width"):
+            RetrievalService(dict(pq), height=32, width=48,
+                             batch_buckets=(1,), pq_rerank=4)
+        with pytest.raises(ValueError, match="pq_codes"):
+            RetrievalService({"descriptors": gallery}, height=32, width=48,
+                             batch_buckets=(1,), pq_rerank=4)
+        with pytest.raises(ValueError, match="ivf_nprobe"):
+            RetrievalService({"descriptors": gallery, **pq}, height=32,
+                             width=48, batch_buckets=(1,), pq_rerank=4,
+                             ivf_nprobe=2)
+
     def test_pq_mesh_downgrades_with_warning(self):
         from openibl_tpu.ops.pq import build_pq
         from openibl_tpu.parallel.mesh import get_mesh
