@@ -351,6 +351,42 @@ class TestIVFPQ:
         assert np.isfinite(d[0][filled]).all()
 
 
+class TestRecallOnModelDescriptors:
+    def test_pq_and_ivfadc_recall_gate(self):
+        """Recall on REAL model descriptors (EmbedNet over the synthetic
+        place dataset — clustered like a real gallery), the quantity
+        scripts/pq_recall.py publishes for docs/SCALING.md: tie-tolerant
+        recall@10 (hits judged by the candidates' EXACT distances vs the
+        exact k-th + eps, since ADC distances aren't comparable raw).
+        Full-scale artifact (1248-image gallery): plain PQ = 1.000 at
+        every m in 8..64; IVFADC in top-4k >= 0.999 from nprobe=2 of 64
+        (logs/pq_recall.json)."""
+        import importlib.util
+        import os.path as osp
+
+        mods = {}
+        for name in ("ivf_recall", "pq_recall"):
+            spec = importlib.util.spec_from_file_location(
+                name,
+                osp.join(osp.dirname(__file__), "..", "scripts",
+                         f"{name}.py"),
+            )
+            mods[name] = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mods[name])
+        pq_recall = mods["pq_recall"]
+
+        desc = mods["ivf_recall"].model_descriptors(
+            n_places=32, imgs_per_place=3, height=32, width=48)
+        pq_rows, ivfpq_rows, m_ivf, _ = pq_recall.recall_tables(
+            desc, n_queries=24, k=10, ms=[16], nlist=8)
+        assert pq_rows[16]["recall_at_k"] >= 0.95, pq_rows
+        assert pq_rows[16]["recall_at_k_in_top_4k"] >= 0.98, pq_rows
+        assert ivfpq_rows[8] >= 0.98, ivfpq_rows  # full probe
+        # monotone non-decreasing in nprobe
+        vals = [ivfpq_rows[p] for p in sorted(ivfpq_rows)]
+        assert all(a <= b + 1e-9 for a, b in zip(vals, vals[1:]))
+
+
 def test_k_clamped_to_gallery_size():
     rs = np.random.RandomState(9)
     x = rs.randn(6, 16).astype(np.float32)
