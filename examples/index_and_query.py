@@ -24,6 +24,8 @@ def build(args):
         # validate BEFORE the gallery extraction — failing after hours of
         # descriptor computation over a real gallery discards all the work
         raise SystemExit("--pq-only requires --pq-m")
+    if args.opq_iters and not args.pq_m:
+        raise SystemExit("--opq-iters requires --pq-m")
 
     from openibl_tpu.hub import vgg16_netvlad
     from openibl_tpu.data.loader import ImageSource, BatchLoader
@@ -71,10 +73,12 @@ def build(args):
         # IVFADC: ONE clustering produces both the IVF tables (usable by
         # the full-width ivf_nprobe path) and the residual-PQ codes
         payload.update(build_ivfpq(search_vectors, nlist=args.ivf_nlist,
-                                   m=args.pq_m))
+                                   m=args.pq_m, opq_iters=args.opq_iters))
         print(f"IVFADC: {payload['ivf_lists'].shape[0]} cells x "
               f"{payload['ivf_lists'].shape[1]} capacity, m={args.pq_m} "
-              f"residual codes")
+              f"residual codes"
+              + (f", OPQ rotation ({args.opq_iters} iters)"
+                 if args.opq_iters else ""))
     elif args.ivf_nlist:
         from openibl_tpu.ops.ivf import build_ivf
 
@@ -86,9 +90,12 @@ def build(args):
     elif args.pq_m:
         from openibl_tpu.ops.pq import build_pq
 
-        payload.update(build_pq(search_vectors, m=args.pq_m))
+        payload.update(build_pq(search_vectors, m=args.pq_m,
+                                opq_iters=args.opq_iters))
         print(f"PQ: m={args.pq_m} -> {args.pq_m} bytes/descriptor "
-              f"({feats.shape[1] * 4 // args.pq_m}x smaller than f32)")
+              f"({feats.shape[1] * 4 // args.pq_m}x smaller than f32)"
+              + (f", OPQ rotation ({args.opq_iters} iters)"
+                 if args.opq_iters else ""))
     if args.pq_only:  # arg combo validated at the top of build()
         del payload["descriptors"]
         payload.pop("scales", None)
@@ -127,19 +134,24 @@ def query(args):
 
         codes = data["ivfpq_codes"]
         nlist = data["ivf_centroids"].shape[0]
+        rot = (jnp.asarray(data["ivfpq_rotation"])
+               if "ivfpq_rotation" in data.files else None)
         d, idx = ivfpq_search(jnp.asarray(desc), jnp.asarray(codes),
                               jnp.asarray(data["ivfpq_codebooks"]),
                               jnp.asarray(data["ivf_centroids"]),
                               jnp.asarray(data["ivf_lists"]),
                               k=min(args.topk, len(codes)),
-                              nprobe=args.nprobe or max(nlist // 8, 1))
+                              nprobe=args.nprobe or max(nlist // 8, 1),
+                              rotation=rot)
     else:  # PQ-only index (build --pq-m ... --pq-only): exhaustive ADC
         from openibl_tpu.ops.pq import pq_search
 
         codes = data["pq_codes"]
+        rot = (jnp.asarray(data["pq_rotation"])
+               if "pq_rotation" in data.files else None)
         d, idx = pq_search(jnp.asarray(desc), jnp.asarray(codes),
                            jnp.asarray(data["pq_codebooks"]),
-                           k=min(args.topk, len(codes)))
+                           k=min(args.topk, len(codes)), rotation=rot)
     d, idx = np.asarray(d)[0], np.asarray(idx)[0]
     # drop unfilled (inf, -1) slots — a low-nprobe IVF/IVFADC probe can
     # return fewer than topk candidates, and paths[-1] would silently show
@@ -172,6 +184,13 @@ def main():
                         "uint8 subcodes per descriptor (ops.pq; m bytes "
                         "each — 256x smaller than f32 at D=4096, m=64); "
                         "serving/query score codes by exhaustive ADC")
+    b.add_argument("--opq-iters", type=int, default=0,
+                   help="with --pq-m: train an OPQ rotation (ops.pq "
+                        "train_opq, Ge et al. CVPR'13) for this many "
+                        "alternating iterations before encoding — lower "
+                        "quantization error at the same m for one extra "
+                        "(D, D) matmul per query; the rotation is stored "
+                        "in the index and applied automatically")
     b.add_argument("--pq-only", action="store_true",
                    help="with --pq-m: store ONLY the PQ arrays (drop the "
                         "full-width descriptors) — the max-compression "

@@ -24,6 +24,14 @@ TPU-native design:
     which TPUs do poorly; tiles stream through the same running-top-k merge
     as ops.distance.topk_nearest, so peak memory is one tile;
   * static shapes throughout (ksub fixed at 256, codes uint8, -1-free).
+
+OPQ (train_opq / build_pq(opq_iters=...)) learns an orthogonal rotation
+jointly with the codebooks (Ge et al., CVPR 2013) so the fixed subspace
+split stops fighting the descriptors' correlation structure — the rotation
+is one extra (Q, D)x(D, D) MXU matmul per query batch and the codebook
+training is the identical batched-Lloyd program, so the TPU cost model is
+unchanged; IVFADC composes via a residual-frame rotation
+(build_ivfpq(opq_iters=...)).
 """
 
 import functools
@@ -142,6 +150,92 @@ def _lloyd_batched(xm, centers, iters, chunk):
     return centers
 
 
+def _subsample(descriptors, train_size, seed):
+    """Shared train-set draw: device gather of host-drawn sorted indices
+    (no host bounce of the gallery; same policy as train_pq/build_ivf)."""
+    x = jnp.asarray(descriptors, jnp.float32)
+    n = x.shape[0]
+    rs = np.random.RandomState(seed)
+    if n > train_size:
+        sel = np.sort(rs.choice(n, train_size, False))
+        x = jnp.take(x, jnp.asarray(sel), axis=0)
+    return x, rs
+
+
+@jax.jit
+def _procrustes(x, y):
+    """Orthogonal R minimizing ||x @ R - y||_F: R = U Vᵀ of the SVD of
+    xᵀy (the closed-form orthogonal-Procrustes solve). HIGHEST: the
+    cross-covariance feeds an SVD whose singular vectors steer the whole
+    rotation; bf16 accumulation error there rotates every descriptor."""
+    m = jnp.dot(x.T, y, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+    u, _, vt = jnp.linalg.svd(m, full_matrices=False)
+    return jnp.dot(u, vt, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+
+
+@functools.partial(jax.jit, static_argnames=("m",))
+def _decode_dev(codebooks, codes, m):
+    """(N, m) codes -> (N, D) reconstructions, on device (OPQ inner loop)."""
+    cb = jnp.asarray(codebooks)  # (m, ksub, dsub)
+    per = jax.vmap(lambda t, c: jnp.take(t, c, axis=0),
+                   in_axes=(0, 1))(cb, codes.astype(jnp.int32))  # (m, N, d)
+    return jnp.transpose(per, (1, 0, 2)).reshape(codes.shape[0], -1)
+
+
+def train_opq(descriptors, m=64, ksub=256, iters=25, opq_iters=8, seed=0,
+              train_size=65536, chunk=4096, inner_iters=2):
+    """OPQ: learn an orthogonal D×D rotation jointly with the codebooks
+    (Ge et al., "Optimized Product Quantization", CVPR 2013, the
+    non-parametric OPQ_NP — what FAISS's OPQMatrix pretransform trains).
+    Plain PQ quantizes FIXED contiguous dsub-wide slices, so correlated or
+    variance-imbalanced dimensions straddling subspace boundaries waste
+    code entropy; OPQ alternates (a) Lloyd updates of the codebooks on the
+    rotated data with (b) the closed-form orthogonal-Procrustes solve
+    R = U Vᵀ of svd(Xᵀ·decode(encode(X·R))) — each step monotonically
+    lowers ‖X·R − decode(encode(X·R))‖².
+
+    TPU shape: step (a) is the SAME batched-Lloyd program train_pq runs
+    (all m subspaces as one einsum axis), warm-started across outer
+    iterations; step (b) is two (D, n)×(n, D) HIGHEST matmuls and one D×D
+    SVD per outer iteration — at D=4096 the SVD is the cost, so
+    ``opq_iters`` stays single-digit (FAISS defaults to 25 Lloyd/50 OPQ
+    iterations on small D; 8 is within 1% of converged reconstruction
+    error on descriptor data, tests/test_pq.py::TestOPQ).
+
+    Returns (rotation (D, D) f32, codebooks (m, ksub, dsub) f32); encode
+    with ``encode_pq(cb, x @ R)``, search with ``pq_search(...,
+    rotation=R)``. Distances are unchanged by the rotation (orthogonal
+    invariance) — only the quantization error falls.
+    """
+    x, rs = _subsample(descriptors, train_size, seed)
+    n, d = x.shape
+    if d % m:
+        raise ValueError(f"feature dim {d} not divisible by m={m}")
+    if ksub > 256:
+        raise ValueError(f"ksub={ksub} > 256 does not fit uint8 codes")
+    chunk = int(min(chunk, n))
+    rot = jnp.eye(d, dtype=jnp.float32)
+    xm = _split_subspaces(x, m)
+    init = _pp_init_batched(
+        jax.random.PRNGKey(rs.randint(2**31 - 1)), xm, min(ksub, n))
+    if ksub > n:  # fewer rows than centers: pad by repeating (rare, tests)
+        reps = -(-ksub // n)
+        init = jnp.tile(init, (1, reps, 1))[:, :ksub]
+    cb = _lloyd_batched(xm, init, inner_iters, chunk)
+    for _ in range(opq_iters):
+        codes = _encode(xm, cb, chunk)
+        y = _decode_dev(cb, codes, m)  # reconstructions in ROTATED space
+        rot = _procrustes(x, y)
+        xr = jnp.dot(x, rot, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+        xm = _split_subspaces(xr, m)
+        cb = _lloyd_batched(xm, cb, inner_iters, chunk)
+    cb = _lloyd_batched(xm, cb, max(iters - inner_iters, 0), chunk)
+    return np.asarray(rot, np.float32), np.asarray(cb, np.float32)
+
+
 def train_pq(descriptors, m=64, ksub=256, iters=25, seed=0,
              train_size=65536, chunk=4096):
     """Train per-subspace codebooks. Returns (m, ksub, dsub) f32.
@@ -212,13 +306,27 @@ def decode_pq(codebooks, codes):
 
 
 def build_pq(descriptors, m=64, ksub=256, iters=25, seed=0,
-             train_size=65536):
+             train_size=65536, opq_iters=0):
     """Train + encode in one call.
 
     Returns dict {"pq_codebooks": (m, ksub, dsub) f32, "pq_codes": (N, m)
     uint8} — the arrays an index .npz carries for PQ serving
     (serving.RetrievalService, examples/index_and_query.py build --pq-m).
+    ``opq_iters > 0`` trains an OPQ rotation first (train_opq) and adds
+    "pq_rotation" (D, D) f32; codes then encode the ROTATED descriptors,
+    so searches must pass the rotation (pq_search(..., rotation=...) —
+    serving and the CLI do this whenever the key is present).
     """
+    if opq_iters:
+        rot, cb = train_opq(descriptors, m=m, ksub=ksub, iters=iters,
+                            seed=seed, train_size=train_size,
+                            opq_iters=opq_iters)
+        xr = jnp.dot(jnp.asarray(descriptors, jnp.float32),
+                     jnp.asarray(rot),
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+        return {"pq_codebooks": cb, "pq_codes": encode_pq(cb, xr),
+                "pq_rotation": rot}
     cb = train_pq(descriptors, m=m, ksub=ksub, iters=iters, seed=seed,
                   train_size=train_size)
     return {"pq_codebooks": cb, "pq_codes": encode_pq(cb, descriptors)}
@@ -226,7 +334,8 @@ def build_pq(descriptors, m=64, ksub=256, iters=25, seed=0,
 
 @functools.partial(jax.jit, static_argnames=("k", "shortlist", "chunk"))
 def pq_search_rerank(query, codes, codebooks, gallery, k, shortlist=None,
-                     chunk=None, gallery_scale=None, gallery_sqnorm=None):
+                     chunk=None, gallery_scale=None, gallery_sqnorm=None,
+                     rotation=None):
     """ADC shortlist + exact re-rank: exact-quality top-k at code-scan cost.
 
     The ADC pass (pq_search) ranks ALL N codes reading only m bytes/row;
@@ -239,6 +348,11 @@ def pq_search_rerank(query, codes, codebooks, gallery, k, shortlist=None,
     full rows instead of N·D — with the gallery in its storage dtype
     (f16/int8 per-row scales supported like ops.distance.topk_nearest).
 
+    ``rotation``: OPQ matrix when the codes encode rotated descriptors —
+    only the ADC shortlist runs rotated; the exact re-rank scores the
+    UNROTATED gallery rows against the unrotated query (same distances
+    either way, and the gallery stays exact-search-compatible).
+
     Returns (exact sq_dists (Q, k), indices (Q, k)).
     """
     q = jnp.asarray(query, jnp.float32)
@@ -248,7 +362,8 @@ def pq_search_rerank(query, codes, codebooks, gallery, k, shortlist=None,
     if shortlist is None:
         shortlist = 8 * k
     shortlist = min(max(shortlist, k), n)
-    _, cand = pq_search(q, codes, codebooks, k=shortlist, chunk=chunk)
+    _, cand = pq_search(q, codes, codebooks, k=shortlist, chunk=chunk,
+                        rotation=rotation)
     rows = jnp.take(g, cand.reshape(-1), axis=0).astype(jnp.float32)
     if gallery_scale is not None:
         s = jnp.take(jnp.asarray(gallery_scale, jnp.float32),
@@ -270,7 +385,7 @@ def pq_search_rerank(query, codes, codebooks, gallery, k, shortlist=None,
 
 
 def build_ivfpq(descriptors, nlist=None, m=64, ksub=256, iters=25, seed=0,
-                train_size=65536, maxlen=None):
+                train_size=65536, maxlen=None, opq_iters=0):
     """IVFADC: coarse IVF cells + PQ-encoded RESIDUALS (Jegou et al. 2011
     §IV — FAISS's IndexIVFPQ). The coarse quantizer absorbs the gallery's
     large-scale structure, so the PQ codebooks only have to cover the
@@ -283,6 +398,12 @@ def build_ivfpq(descriptors, nlist=None, m=64, ksub=256, iters=25, seed=0,
     exact / IVF / IVFADC from the same artifact); codes are (N, m) uint8
     of (x - centroid[cell(x)]). ``descriptors`` may be a device array; the
     cell build needs one host pass (greedy capacity fill) either way.
+
+    ``opq_iters > 0`` learns the OPQ rotation on the RESIDUAL distribution
+    (the local-rotation composition: cell assignment is rotation-free, only
+    the residual frame feeding the PQ rotates — ‖(q−c)·R − code‖ equals
+    ‖(q−c) − code·Rᵀ‖ by orthogonal invariance) and adds "ivfpq_rotation";
+    searches must then pass it (ivfpq_search(..., rotation=...)).
     """
     from openibl_tpu.ops.ivf import build_ivf
 
@@ -297,15 +418,26 @@ def build_ivfpq(descriptors, nlist=None, m=64, ksub=256, iters=25, seed=0,
     valid = lists >= 0
     cell_of[lists[valid]] = np.nonzero(valid)[0]  # row of lists = cell id
     residuals = x - jnp.take(centroids, jnp.asarray(cell_of), axis=0)
-    cb = train_pq(residuals, m=m, ksub=ksub, iters=iters, seed=seed,
-                  train_size=train_size)
-    return {"ivf_centroids": ivf["centroids"], "ivf_lists": ivf["lists"],
-            "ivfpq_codebooks": cb,
-            "ivfpq_codes": encode_pq(cb, residuals)}
+    out = {"ivf_centroids": ivf["centroids"], "ivf_lists": ivf["lists"]}
+    if opq_iters:
+        rot, cb = train_opq(residuals, m=m, ksub=ksub, iters=iters,
+                            seed=seed, train_size=train_size,
+                            opq_iters=opq_iters)
+        residuals = jnp.dot(residuals, jnp.asarray(rot),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+        out["ivfpq_rotation"] = rot
+    else:
+        cb = train_pq(residuals, m=m, ksub=ksub, iters=iters, seed=seed,
+                      train_size=train_size)
+    out["ivfpq_codebooks"] = cb
+    out["ivfpq_codes"] = encode_pq(cb, residuals)
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("k", "nprobe"))
-def ivfpq_search(query, codes, codebooks, centroids, lists, k, nprobe):
+def ivfpq_search(query, codes, codebooks, centroids, lists, k, nprobe,
+                 rotation=None):
     """Approximate k-NN over residual-PQ codes via the nprobe nearest cells.
 
     query (Q, D) f32; codes (N, m) uint8 residual codes, codebooks
@@ -339,10 +471,16 @@ def ivfpq_search(query, codes, codebooks, centroids, lists, k, nprobe):
     init = (jnp.full((qn, k), jnp.inf, jnp.float32),
             jnp.full((qn, k), -1, jnp.int32))
 
+    rot = (None if rotation is None
+           else jnp.asarray(rotation, jnp.float32))
+
     def body(carry, j):
         best_d, best_i = carry
         cid = probe_ids[:, j]  # (Q,)
         r = q - jnp.take(c, cid, axis=0)  # (Q, D) residual frame
+        if rot is not None:  # OPQ residuals: LUT in the codes' rotated frame
+            r = jnp.dot(r, rot, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
         rm = _split_subspaces(r, m)  # (m, Q, dsub)
         lut = jnp.transpose(_sub_d2(rm, cb), (1, 0, 2))  # (Q, m, ksub)
         ids = jnp.take(lists, cid, axis=0)  # (Q, maxlen)
@@ -370,14 +508,17 @@ def ivfpq_search(query, codes, codebooks, centroids, lists, k, nprobe):
 
 
 @functools.partial(jax.jit, static_argnames=("k", "chunk", "precise"))
-def pq_search(query, codes, codebooks, k, chunk=None, precise=False):
+def pq_search(query, codes, codebooks, k, chunk=None, precise=False,
+              rotation=None):
     """Exhaustive-ADC k nearest codes per query row.
 
     query (Q, D) f32; codes (N, m) uint8; codebooks (m, ksub, dsub) f32.
     Returns (sq_dists (Q, k), indices (Q, k)) where sq_dists are the ADC
     approximations ||q - decode(code)||² = Σ_m ||q_m - cb_m[code_m]||²,
     ranked over ALL N codes (the approximation is the quantization, not the
-    scan).
+    scan). ``rotation``: OPQ matrix from build_pq(opq_iters=...) — applied
+    to the query here so ADC runs in the codes' rotated frame; the returned
+    distances are still original-space (orthogonal invariance).
 
     Per tile the codes one-hot-expand and ONE
     (Q, m·ksub) x (m·ksub, tile) matmul with the flattened LUT yields the
@@ -397,6 +538,10 @@ def pq_search(query, codes, codebooks, k, chunk=None, precise=False):
     float ADC oracle; 2x one-hot traffic) for tests and tiny galleries.
     """
     q = jnp.asarray(query, jnp.float32)
+    if rotation is not None:
+        q = jnp.dot(q, jnp.asarray(rotation, jnp.float32),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
     cb = jnp.asarray(codebooks, jnp.float32)
     m, ksub, dsub = cb.shape
     n = codes.shape[0]

@@ -77,6 +77,8 @@ class RetrievalService:
       quant_backbone: run the conv backbone mixed bf16/int8 (ops/quant.py);
         calib_images optionally supplies representative calibration frames.
       use_pq: serve from the index's product-quantized codes (ops/pq.py;
+        an OPQ rotation stored by build --opq-iters ("pq_rotation" /
+        "ivfpq_rotation") is detected and applied to queries automatically;
         "pq_codes"/"pq_codebooks" from index_and_query.py build --pq-m) —
         ~D·4/m x smaller in HBM than f32 (256x at D=4096, m=64), searched
         by exhaustive ADC. Implied when the index carries ONLY PQ arrays
@@ -257,8 +259,13 @@ class RetrievalService:
             from openibl_tpu.ops.pq import ivfpq_search, pq_search
 
             cb_key = "ivfpq_codebooks" if self.ivf_nprobe else "pq_codebooks"
+            rot_key = "ivfpq_rotation" if self.ivf_nprobe else "pq_rotation"
             self._gallery = jnp.asarray(gallery)  # (N, m) uint8 codes
             self._scale = None
+            # OPQ rotation (ops.pq train_opq): codes encode rotated
+            # vectors/residuals, so the query side must rotate too
+            self._pq_rotation = (jnp.asarray(index[rot_key], jnp.float32)
+                                 if rot_key in index else None)
             self._pq_codebooks = jnp.asarray(index[cb_key], jnp.float32)
             if (self._pq_codebooks.shape[0] != gallery.shape[1]
                     or self._pq_codebooks.ndim != 3):
@@ -277,11 +284,13 @@ class RetrievalService:
                     return ivfpq_search(
                         fwd(params, images), gallery, self._pq_codebooks,
                         self._ivf_centroids, self._ivf_lists,
-                        k=k, nprobe=self.ivf_nprobe)
+                        k=k, nprobe=self.ivf_nprobe,
+                        rotation=self._pq_rotation)
             else:
                 def run(params, images, gallery, k):
                     return pq_search(fwd(params, images), gallery,
-                                     self._pq_codebooks, k=k)
+                                     self._pq_codebooks, k=k,
+                                     rotation=self._pq_rotation)
 
             self._run = run
             return
@@ -362,6 +371,9 @@ class RetrievalService:
                 self._pq_codes = jnp.asarray(index["pq_codes"])
                 self._pq_codebooks = jnp.asarray(
                     index["pq_codebooks"], jnp.float32)
+                self._pq_rotation = (
+                    jnp.asarray(index["pq_rotation"], jnp.float32)
+                    if "pq_rotation" in index else None)
 
                 def run(params, images, gallery, k):
                     return pq_search_rerank(
@@ -369,7 +381,8 @@ class RetrievalService:
                         self._pq_codebooks, gallery, k,
                         shortlist=self.pq_rerank,
                         gallery_scale=self._scale,
-                        gallery_sqnorm=self._sqnorm)
+                        gallery_sqnorm=self._sqnorm,
+                        rotation=self._pq_rotation)
             elif self.ivf_nprobe:
                 from openibl_tpu.ops.ivf import ivf_search
 

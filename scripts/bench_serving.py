@@ -44,7 +44,14 @@ def _device_time_pass(args, results, todo, g_dev, stage, out):
     pollute (same technique as bench.py --device-time). All index variants
     are built ON DEVICE from the resident gallery (no 1.6 GB host bounce);
     the artifact rows land next to the synchronous p50s as
-    ``device_ms_per_query``."""
+    ``device_ms_per_query``.
+
+    Each variant builds its index LAZILY, right before its own
+    measure+flush: on a degraded tunnel a single scan compile can stall
+    past the collector window, and the up-front-build version lost every
+    already-buildable row (plus a ~6 min ivf fill_lists pass) to whichever
+    variant stalled first. Cheap variants now land on disk before the
+    expensive builds even start, so a timed-out run resumes mid-list."""
     import json
     import time
 
@@ -57,15 +64,14 @@ def _device_time_pass(args, results, todo, g_dev, stage, out):
     model, params = vgg16_netvlad(None)
     n2 = jax.jit(lambda g: jnp.sum(jnp.square(g), axis=1))(g_dev)
 
-    searches = {}
-    if "f32" in todo:
-        searches["f32"] = lambda d: topk_nearest(
-            d, g_dev, k=10, gallery_sqnorm=n2)[1]
-    if "f16" in todo:
+    def _mk_f32():
+        return lambda d: topk_nearest(d, g_dev, k=10, gallery_sqnorm=n2)[1]
+
+    def _mk_f16():
         g16 = jax.jit(lambda g: g.astype(jnp.float16))(g_dev)
-        searches["f16"] = lambda d: topk_nearest(
-            d, g16, k=10, gallery_sqnorm=n2)[1]
-    if "int8" in todo:
+        return lambda d: topk_nearest(d, g16, k=10, gallery_sqnorm=n2)[1]
+
+    def _mk_int8():
         @jax.jit
         def _quant(g):
             s = jnp.maximum(jnp.max(jnp.abs(g), axis=1) / 127.0, 1e-30)
@@ -76,9 +82,10 @@ def _device_time_pass(args, results, todo, g_dev, stage, out):
             return c, s, n2i
 
         codes8, scales8, n2i = _quant(g_dev)
-        searches["int8"] = lambda d: topk_nearest(
+        return lambda d: topk_nearest(
             d, codes8, k=10, gallery_scale=scales8, gallery_sqnorm=n2i)[1]
-    if "ivf_f32" in todo:
+
+    def _mk_ivf():
         from openibl_tpu.ops.ivf import fill_lists, ivf_search
 
         nlist = args.ivf_nlist
@@ -90,22 +97,30 @@ def _device_time_pass(args, results, todo, g_dev, stage, out):
                        centroids=np.asarray(centroids)))
         stage("ivf lists filled")
         nprobe = min(args.ivf_nprobe, nlist)
-        searches["ivf_f32"] = lambda d: ivf_search(
+        return lambda d: ivf_search(
             d, g_dev, centroids, lists, k=10, nprobe=nprobe,
             gallery_sqnorm=n2)[1]
-    if "pq" in todo:
+
+    def _mk_pq():
         from openibl_tpu.ops.pq import build_pq, pq_search
 
         payload = build_pq(g_dev, m=64, train_size=16384, iters=10)
         pq_codes = jnp.asarray(payload["pq_codes"])
         pq_cb = jnp.asarray(payload["pq_codebooks"])
         stage("pq built (on device)")
-        searches["pq"] = lambda d: pq_search(d, pq_codes, pq_cb, k=10)[1]
+        return lambda d: pq_search(d, pq_codes, pq_cb, k=10)[1]
+
+    builders = {"f32": _mk_f32, "f16": _mk_f16, "int8": _mk_int8,
+                "ivf_f32": _mk_ivf, "pq": _mk_pq}
+    # cheapest-build-first so a stall costs the fewest unflushed rows
+    order = ["f32", "f16", "int8", "pq", "ivf_f32"]
+    todo = sorted(todo, key=order.index)
 
     n = args.scan_n
     keys = jax.random.split(jax.random.PRNGKey(2), n)
     for name in todo:
-        search = searches[name]
+        search = builders[name]()
+        stage(f"{name}: index ready; compiling scan")
 
         @jax.jit
         def scan_queries(params, keys, _search=search):

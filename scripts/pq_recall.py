@@ -27,7 +27,11 @@ ROOT = pathlib.Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(ROOT))
 
 
-def recall_tables(desc, n_queries, k, ms, nlist, seed=0):
+def recall_tables(desc, n_queries, k, ms, nlist, seed=0, opq_iters=6):
+    """opq_iters=0 skips the OPQ columns: each OPQ build pays opq_iters
+    D x D Procrustes SVDs (~80 s each at D=4096 on this 1-core host), so
+    the in-suite gate (tests/test_pq.py) runs PQ-only and OPQ quality is
+    gated separately at small D (TestOPQ)."""
     import jax.numpy as jnp
 
     from openibl_tpu.ops.distance import pairwise_sqdist
@@ -53,14 +57,29 @@ def recall_tables(desc, n_queries, k, ms, nlist, seed=0):
 
     pq_rows = {}
     for m in ms:
-        payload = build_pq(g, m=m)
-        codes, cb = payload["pq_codes"], payload["pq_codebooks"]
-        _, idx_k = pq_search(jnp.asarray(q), jnp.asarray(codes),
-                             jnp.asarray(cb), k=k)
-        _, idx_4k = pq_search(jnp.asarray(q), jnp.asarray(codes),
-                              jnp.asarray(cb), k=4 * k)
-        pq_rows[m] = {"recall_at_k": hit_rate(idx_k),
-                      "recall_at_k_in_top_4k": hit_rate(idx_4k)}
+        row = {}
+        modes = [("", 0)] + ([("opq_", opq_iters)] if opq_iters else [])
+        for tag, n_opq in modes:
+            payload = build_pq(g, m=m, opq_iters=n_opq)
+            codes, cb = payload["pq_codes"], payload["pq_codebooks"]
+            rot = (jnp.asarray(payload["pq_rotation"])
+                   if "pq_rotation" in payload else None)
+            _, idx_k = pq_search(jnp.asarray(q), jnp.asarray(codes),
+                                 jnp.asarray(cb), k=k, rotation=rot)
+            _, idx_4k = pq_search(jnp.asarray(q), jnp.asarray(codes),
+                                  jnp.asarray(cb), k=4 * k, rotation=rot)
+            row[tag + "recall_at_k"] = hit_rate(idx_k)
+            row[tag + "recall_at_k_in_top_4k"] = hit_rate(idx_4k)
+            # reconstruction MSE in the original frame: the OPQ win shows
+            # here even where tie-tolerant recall saturates
+            from openibl_tpu.ops.pq import decode_pq
+
+            y = decode_pq(cb, codes)
+            if rot is not None:
+                y = y @ payload["pq_rotation"].T
+            row[tag + "recon_mse"] = float(
+                np.mean(np.sum((g - y) ** 2, axis=1)))
+        pq_rows[m] = row
 
     ivfpq_rows = {}
     m_ivf = ms[len(ms) // 2]
@@ -92,6 +111,9 @@ def main():
     ap.add_argument("--ms", type=str, default="8,16,32,64",
                     help="PQ subquantizer counts to sweep")
     ap.add_argument("--nlist", type=int, default=64)
+    ap.add_argument("--opq-iters", type=int, default=6,
+                    help="OPQ alternations for the opq_ columns (0 = skip; "
+                         "each pays a D x D SVD, ~80 s at D=4096 on CPU)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", type=str,
                     default=str(ROOT / "logs" / "pq_recall.json"))
@@ -110,14 +132,21 @@ def main():
     print(f"{len(desc)} model descriptors (D={desc.shape[1]})")
     ms = [int(v) for v in args.ms.split(",") if v]
     pq_rows, ivfpq_rows, m_ivf, gallery_n = recall_tables(
-        desc, args.n_queries, args.k, ms, args.nlist)
+        desc, args.n_queries, args.k, ms, args.nlist,
+        opq_iters=args.opq_iters)
 
     print(f"\n| PQ m (bytes/desc) | recall@{args.k} | "
-          f"recall@{args.k} in top-{4 * args.k} |")
-    print("|---|---|---|")
+          f"recall@{args.k} in top-{4 * args.k} | recon MSE | "
+          f"OPQ recall@{args.k} | OPQ in top-{4 * args.k} | OPQ recon MSE |")
+    print("|---|---|---|---|---|---|---|")
     for m, row in pq_rows.items():
+        opq = (f"{row['opq_recall_at_k']:.3f} | "
+               f"{row['opq_recall_at_k_in_top_4k']:.3f} | "
+               f"{row['opq_recon_mse']:.4f}"
+               if "opq_recall_at_k" in row else "- | - | -")
         print(f"| {m} | {row['recall_at_k']:.3f} | "
-              f"{row['recall_at_k_in_top_4k']:.3f} |")
+              f"{row['recall_at_k_in_top_4k']:.3f} | "
+              f"{row['recon_mse']:.4f} | {opq} |")
     print(f"\n| IVFADC m={m_ivf}, nprobe (of {args.nlist}) | "
           f"recall@{args.k} in top-{4 * args.k} |")
     print("|---|---|")

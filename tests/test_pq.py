@@ -378,13 +378,126 @@ class TestRecallOnModelDescriptors:
         desc = mods["ivf_recall"].model_descriptors(
             n_places=32, imgs_per_place=3, height=32, width=48)
         pq_rows, ivfpq_rows, m_ivf, _ = pq_recall.recall_tables(
-            desc, n_queries=24, k=10, ms=[16], nlist=8)
+            desc, n_queries=24, k=10, ms=[16], nlist=8,
+            opq_iters=0)  # OPQ pays D x D SVDs; gated at small D (TestOPQ)
         assert pq_rows[16]["recall_at_k"] >= 0.95, pq_rows
         assert pq_rows[16]["recall_at_k_in_top_4k"] >= 0.98, pq_rows
         assert ivfpq_rows[8] >= 0.98, ivfpq_rows  # full probe
         # monotone non-decreasing in nprobe
         vals = [ivfpq_rows[p] for p in sorted(ivfpq_rows)]
         assert all(a <= b + 1e-9 for a, b in zip(vals, vals[1:]))
+
+
+class TestOPQ:
+    """OPQ rotation (ops.pq train_opq — Ge et al. CVPR'13 OPQ_NP).
+
+    Quality contract: on data whose correlation structure straddles the
+    fixed subspace split (latent-factor mixes), the learned rotation must
+    cut reconstruction error well below plain PQ's; correctness contract:
+    rotated search paths stay pinned to the same oracles as the unrotated
+    ones, and the exact re-rank is rotation-invariant."""
+
+    def _correlated(self, rs, n=1500, d=64, latent=12, noise=0.05):
+        lat = rs.randn(n, latent).astype(np.float32)
+        mix = rs.randn(latent, d).astype(np.float32)
+        return (lat @ mix + noise * rs.randn(n, d)).astype(np.float32)
+
+    @staticmethod
+    def _recon_err(payload, x):
+        y = decode_pq(payload["pq_codebooks"], payload["pq_codes"])
+        if "pq_rotation" in payload:
+            y = y @ payload["pq_rotation"].T  # back to original space
+        return float(np.mean(np.sum((x - y) ** 2, axis=1)))
+
+    def test_rotation_is_orthogonal(self):
+        from openibl_tpu.ops.pq import train_opq
+
+        rs = np.random.RandomState(40)
+        x = self._correlated(rs, n=600, d=32, latent=8)
+        rot, cb = train_opq(x, m=4, ksub=16, iters=6, opq_iters=4)
+        assert rot.shape == (32, 32) and rot.dtype == np.float32
+        np.testing.assert_allclose(rot @ rot.T, np.eye(32), atol=1e-5)
+        assert cb.shape == (4, 16, 8)
+
+    def test_opq_beats_pq_on_correlated_data(self):
+        """Latent-mix data: the fixed split wastes code entropy on
+        correlated dims; OPQ must recover a large fraction (measured
+        ratio ~0.3 at these shapes — gate at 0.7 for seed headroom)."""
+        rs = np.random.RandomState(41)
+        x = self._correlated(rs, n=1500, d=64, latent=12)
+        e_pq = self._recon_err(build_pq(x, m=8, ksub=32, iters=10), x)
+        e_opq = self._recon_err(
+            build_pq(x, m=8, ksub=32, iters=10, opq_iters=5), x)
+        assert e_opq < 0.7 * e_pq, (e_opq, e_pq)
+
+    def test_rotated_search_matches_adc_oracle(self):
+        """pq_search(rotation=R) must equal the float ADC oracle run on
+        the rotated query — the rotation changes the frame, not the
+        scoring."""
+        rs = np.random.RandomState(42)
+        x = self._correlated(rs, n=300, d=32, latent=8)
+        q = x[:4]
+        payload = build_pq(x, m=4, ksub=16, iters=6, opq_iters=3)
+        rot = payload["pq_rotation"]
+        d, idx = pq_search(q, payload["pq_codes"], payload["pq_codebooks"],
+                           k=6, precise=True, rotation=rot)
+        oracle = _adc_oracle(q @ rot, payload["pq_codes"],
+                             payload["pq_codebooks"])
+        got = np.take_along_axis(oracle, np.asarray(idx), axis=1)
+        np.testing.assert_allclose(np.asarray(d), got, rtol=1e-4,
+                                   atol=1e-4)
+        np.testing.assert_array_equal(
+            np.asarray(idx), np.argsort(oracle, axis=1)[:, :6])
+
+    def test_rerank_with_rotation_matches_exact(self):
+        """Covering shortlist + OPQ codes: the exact re-rank must still
+        return the exact scan's ids (the rotation only affects which
+        candidates the ADC pass surfaces)."""
+        from openibl_tpu.ops.distance import topk_nearest
+
+        rs = np.random.RandomState(43)
+        x = self._correlated(rs, n=400, d=32, latent=8)
+        q = x[:4] + 0.01 * rs.randn(4, 32).astype(np.float32)
+        payload = build_pq(x, m=4, ksub=16, iters=6, opq_iters=3)
+        d_ex, i_ex = topk_nearest(q, x, k=5)
+        d_rr, i_rr = pq_search_rerank(
+            q, payload["pq_codes"], payload["pq_codebooks"], x, k=5,
+            shortlist=400, rotation=payload["pq_rotation"])
+        np.testing.assert_array_equal(np.asarray(i_rr), np.asarray(i_ex))
+        np.testing.assert_allclose(np.asarray(d_rr), np.asarray(d_ex),
+                                   rtol=1e-2, atol=5e-5)
+
+    def test_ivfpq_opq_full_probe_matches_reconstruction_oracle(self):
+        """IVFADC+OPQ at nprobe=nlist: returned ADC distances must equal
+        exact distances to centroid + rotated-back decoded residual."""
+        rs = np.random.RandomState(44)
+        x = self._correlated(rs, n=240, d=32, latent=8)
+        q = x[:3]
+        p = build_ivfpq(x, nlist=6, m=4, ksub=16, iters=6, opq_iters=3)
+        assert "ivfpq_rotation" in p
+        d, idx = ivfpq_search(q, p["ivfpq_codes"], p["ivfpq_codebooks"],
+                              p["ivf_centroids"], p["ivf_lists"], k=5,
+                              nprobe=6, rotation=p["ivfpq_rotation"])
+        lists = p["ivf_lists"]
+        cell_of = np.empty(240, np.int64)
+        valid = lists >= 0
+        cell_of[lists[valid]] = np.nonzero(valid)[0]
+        res = decode_pq(p["ivfpq_codebooks"], p["ivfpq_codes"])
+        recon = (res @ p["ivfpq_rotation"].T
+                 + p["ivf_centroids"][cell_of])
+        oracle = np.sum(
+            (q[:, None].astype(np.float64)
+             - recon[None].astype(np.float64)) ** 2, axis=2)
+        got = np.take_along_axis(oracle, np.asarray(idx, np.int64), axis=1)
+        np.testing.assert_allclose(np.asarray(d), got, rtol=1e-3,
+                                   atol=1e-3)
+
+    def test_opq_iters_zero_payload_has_no_rotation(self):
+        rs = np.random.RandomState(45)
+        x = rs.randn(64, 16).astype(np.float32)
+        assert "pq_rotation" not in build_pq(x, m=4, ksub=8, iters=2)
+        assert "ivfpq_rotation" not in build_ivfpq(x, nlist=4, m=4, ksub=8,
+                                                   iters=2)
 
 
 def test_k_clamped_to_gallery_size():

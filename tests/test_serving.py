@@ -275,6 +275,33 @@ class TestMeshServing:
             assert out[0]["path"] == f"img_{i}.jpg"
             assert out[0]["sq_dist"] < out[1]["sq_dist"]
 
+    def test_opq_rotation_applied_from_index(self):
+        """An index built with opq_iters carries "pq_rotation"; the service
+        must detect it, rotate queries, and still retrieve each gallery
+        image as its own top-1 (codes encode ROTATED descriptors — an
+        unrotated query would score garbage)."""
+        import jax
+
+        from openibl_tpu.hub import vgg16_netvlad
+        from openibl_tpu.ops.pq import build_pq
+
+        model, params = vgg16_netvlad(None)
+        rng = np.random.RandomState(14)
+        imgs = rng.randint(0, 256, (8, 32, 48, 3), np.uint8)
+        desc = np.asarray(jax.jit(model.apply)(params, imgs))
+        payload = build_pq(desc, m=64, ksub=8, iters=8, opq_iters=3)
+        assert "pq_rotation" in payload
+        svc = RetrievalService(
+            {**payload,
+             "paths": np.array([f"img_{i}.jpg" for i in range(8)])},
+            height=32, width=48, batch_buckets=(1,),
+        )
+        assert svc.use_pq and svc._pq_rotation is not None
+        for i in (0, 5):
+            out = svc.query([imgs[i]], topk=3)[0]
+            assert out[0]["index"] == i
+            assert out[0]["sq_dist"] < out[1]["sq_dist"]
+
     def test_pq_alongside_descriptors_is_opt_in(self):
         from openibl_tpu.ops.pq import build_pq
 
