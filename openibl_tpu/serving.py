@@ -83,7 +83,10 @@ class RetrievalService:
         ~D·4/m x smaller in HBM than f32 (256x at D=4096, m=64), searched
         by exhaustive ADC. Implied when the index carries ONLY PQ arrays
         (built with --pq-only). Approximate: distances are to the decoded
-        codes; use for galleries too large for a full-width index.
+        codes; use for galleries too large for a full-width index. Under a
+        ``mesh`` the codes shard over the data axis
+        (ops.pq.pq_search_sharded) — the tier above one chip's ~100M-code
+        ceiling; IVFADC (use_pq + ivf_nprobe) stays single-device.
       pq_rerank: >0 = ADC-shortlist-then-exact-re-rank (ops.pq
         pq_search_rerank): the PQ codes rank ALL rows reading m bytes
         each, the top ``pq_rerank`` candidates re-rank by exact distance
@@ -229,12 +232,17 @@ class RetrievalService:
                 self._model, self._params, jnp.asarray(calib_images)
             )
         self._lock = threading.Lock()  # serialize device work per process
-        if (self.use_pq or self.pq_rerank) and mesh is not None:
+        # plain PQ + mesh serves from codes sharded over the data axis
+        # (ops.pq.pq_search_sharded — the pod-scale tier above one chip's
+        # ~100M-code ceiling); IVFADC and the exact re-rank stay
+        # single-device (their per-cell lists / full-width gather have no
+        # sharded variant)
+        if (self.pq_rerank or (self.use_pq and ivf_nprobe)) \
+                and mesh is not None:
             import warnings
 
             warnings.warn(
-                "PQ serving is single-device (codes are ~D*4/m x smaller "
-                "than the f32 index the sharded path exists for); serving "
+                "IVFADC / pq_rerank serving is single-device; serving "
                 "from the default device", stacklevel=2)
             mesh = None
         self.mesh = mesh
@@ -256,11 +264,26 @@ class RetrievalService:
             )
 
         if self.use_pq:
-            from openibl_tpu.ops.pq import ivfpq_search, pq_search
+            from openibl_tpu.ops.pq import (
+                ivfpq_search, pq_search, pq_search_sharded,
+            )
 
             cb_key = "ivfpq_codebooks" if self.ivf_nprobe else "pq_codebooks"
             rot_key = "ivfpq_rotation" if self.ivf_nprobe else "pq_rotation"
-            self._gallery = jnp.asarray(gallery)  # (N, m) uint8 codes
+            if mesh is not None:
+                # shard the uint8 codes over the data axis; padding to a
+                # divisible size is pq_search_sharded's job (zero codes
+                # decode to REAL codebook entries, so the op masks fake
+                # rows by global index — a caller-side zero-pad would not
+                # rank last)
+                from openibl_tpu.parallel.mesh import data_sharding
+
+                if gallery.shape[0] % mesh.shape["data"] == 0:
+                    gallery = jax.device_put(gallery,
+                                             data_sharding(mesh, 2))
+                self._gallery = gallery
+            else:
+                self._gallery = jnp.asarray(gallery)  # (N, m) uint8 codes
             self._scale = None
             # OPQ rotation (ops.pq train_opq): codes encode rotated
             # vectors/residuals, so the query side must rotate too
@@ -286,6 +309,14 @@ class RetrievalService:
                         self._ivf_centroids, self._ivf_lists,
                         k=k, nprobe=self.ivf_nprobe,
                         rotation=self._pq_rotation)
+            elif mesh is not None:
+                def run(params, images, gallery, k):
+                    # separate forward/search dispatches like the sharded
+                    # full-width path: fusing the conv forward into the
+                    # shard_map jit would GSPMD-partition it too
+                    return pq_search_sharded(fwd(params, images), gallery,
+                                             self._pq_codebooks, mesh, k=k,
+                                             rotation=self._pq_rotation)
             else:
                 def run(params, images, gallery, k):
                     return pq_search(fwd(params, images), gallery,

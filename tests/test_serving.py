@@ -409,20 +409,55 @@ class TestMeshServing:
                              width=48, batch_buckets=(1,), pq_rerank=4,
                              ivf_nprobe=2)
 
-    def test_pq_mesh_downgrades_with_warning(self):
+    def test_pq_mesh_serves_sharded(self):
+        """Plain PQ + mesh: codes shard over the data axis
+        (ops.pq.pq_search_sharded) and the results match the single-device
+        PQ service — including a non-divisible gallery size (29 % 8), where
+        the op (not the caller) must handle padding because zero codes
+        decode to REAL codebook entries."""
         from openibl_tpu.ops.pq import build_pq
         from openibl_tpu.parallel.mesh import get_mesh
 
         rng = np.random.RandomState(14)
+        gallery = rng.randn(29, 4096).astype(np.float32)
+        gallery /= np.linalg.norm(gallery, axis=1, keepdims=True)
+        index = build_pq(gallery, m=8, ksub=8, iters=4)
+        img = rng.randint(0, 256, (32, 48, 3), np.uint8)
+        results = []
+        for mesh in (None, get_mesh(8)):
+            svc = RetrievalService(dict(index), height=32, width=48,
+                                   batch_buckets=(1,), mesh=mesh)
+            assert svc.use_pq and (svc.mesh is mesh)
+            results.append(svc.query([img], topk=5)[0])
+        ids = [[m["index"] for m in r] for r in results]
+        assert ids[0] == ids[1]
+        np.testing.assert_allclose([m["sq_dist"] for m in results[0]],
+                                   [m["sq_dist"] for m in results[1]],
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_ivfadc_and_rerank_mesh_downgrade_with_warning(self):
+        """IVFADC and pq_rerank have no sharded variant — a mesh must
+        downgrade loudly, not silently mis-shard."""
+        from openibl_tpu.ops.pq import build_ivfpq, build_pq
+        from openibl_tpu.parallel.mesh import get_mesh
+
+        rng = np.random.RandomState(19)
         gallery = rng.randn(16, 4096).astype(np.float32)
+        ivfadc = build_ivfpq(gallery, nlist=4, m=8, ksub=8, iters=2)
         with pytest.warns(UserWarning, match="single-device"):
-            svc = RetrievalService(
-                dict(build_pq(gallery, m=8, ksub=8, iters=2)),
-                height=32, width=48, batch_buckets=(1,), mesh=get_mesh(8),
-            )
+            svc = RetrievalService(dict(ivfadc), height=32, width=48,
+                                   batch_buckets=(1,), mesh=get_mesh(8),
+                                   ivf_nprobe=2)
         assert svc.mesh is None
         out = svc.query([np.zeros((32, 48, 3), np.uint8)], topk=3)[0]
         assert len(out) == 3
+        rr = {"descriptors": gallery, **build_pq(gallery, m=8, ksub=8,
+                                                 iters=2)}
+        with pytest.warns(UserWarning, match="single-device"):
+            svc = RetrievalService(dict(rr), height=32, width=48,
+                                   batch_buckets=(1,), mesh=get_mesh(8),
+                                   pq_rerank=8)
+        assert svc.mesh is None
 
     def test_sharded_index_matches_single_device(self):
         """Same top-k from the mesh-sharded index (incl. a non-divisible

@@ -291,3 +291,72 @@ def test_topk_sharded_sqnorm_matches(rng):
     np.testing.assert_array_equal(np.asarray(i2), np.asarray(i3))
     np.testing.assert_allclose(np.asarray(d2), np.asarray(d3),
                                rtol=1e-5, atol=1e-5)
+
+
+class TestPQSearchSharded:
+    """pq_search_sharded (ops.pq): ADC over mesh-sharded uint8 codes must
+    equal the single-device scan — the pod-scale index composition."""
+
+    def _index(self, rng, n=64, d=32, m=4, opq=0):
+        from openibl_tpu.ops.pq import build_pq
+
+        g = rng.randn(n, d).astype(np.float32)
+        q = g[:5] + 0.01 * rng.randn(5, d).astype(np.float32)
+        return q, build_pq(g, m=m, ksub=16, iters=6, opq_iters=opq)
+
+    def test_matches_single_device(self, rng):
+        from openibl_tpu.ops.pq import pq_search, pq_search_sharded
+
+        q, p = self._index(rng)
+        mesh = get_mesh()
+        codes = jnp.asarray(p["pq_codes"])
+        d1, i1 = pq_search(q, codes, p["pq_codebooks"], k=7, precise=True)
+        d8, i8 = pq_search_sharded(q, codes, p["pq_codebooks"], mesh, k=7,
+                                   precise=True)
+        np.testing.assert_array_equal(np.asarray(i8), np.asarray(i1))
+        np.testing.assert_allclose(np.asarray(d8), np.asarray(d1),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_non_divisible_gallery_pads_safely(self, rng):
+        """61 % 8 != 0: zero-padded codes decode to REAL codebook entries,
+        so the masking (not luck) must keep fake rows out of the result."""
+        from openibl_tpu.ops.pq import pq_search, pq_search_sharded
+
+        q, p = self._index(rng, n=61)
+        mesh = get_mesh()
+        d1, i1 = pq_search(q, p["pq_codes"], p["pq_codebooks"], k=7,
+                           precise=True)
+        d8, i8 = pq_search_sharded(q, p["pq_codes"], p["pq_codebooks"],
+                                   mesh, k=7, precise=True)
+        assert np.all(np.asarray(i8) < 61) and np.all(np.asarray(i8) >= 0)
+        np.testing.assert_array_equal(np.asarray(i8), np.asarray(i1))
+        np.testing.assert_allclose(np.asarray(d8), np.asarray(d1),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_opq_rotation(self, rng):
+        from openibl_tpu.ops.pq import pq_search, pq_search_sharded
+
+        q, p = self._index(rng, opq=3)
+        mesh = get_mesh()
+        rot = p["pq_rotation"]
+        d1, i1 = pq_search(q, p["pq_codes"], p["pq_codebooks"], k=6,
+                           precise=True, rotation=rot)
+        d8, i8 = pq_search_sharded(q, p["pq_codes"], p["pq_codebooks"],
+                                   mesh, k=6, precise=True, rotation=rot)
+        np.testing.assert_array_equal(np.asarray(i8), np.asarray(i1))
+        np.testing.assert_allclose(np.asarray(d8), np.asarray(d1),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_k_exceeds_shard(self, rng):
+        """k > rows-per-device: the merge must still return k global-best."""
+        from openibl_tpu.ops.pq import pq_search, pq_search_sharded
+
+        q, p = self._index(rng, n=32)  # 4 rows/device < k=10
+        mesh = get_mesh()
+        d1, i1 = pq_search(q, p["pq_codes"], p["pq_codebooks"], k=10,
+                           precise=True)
+        d8, i8 = pq_search_sharded(q, p["pq_codes"], p["pq_codebooks"],
+                                   mesh, k=10, precise=True)
+        np.testing.assert_array_equal(np.asarray(i8), np.asarray(i1))
+        np.testing.assert_allclose(np.asarray(d8), np.asarray(d1),
+                                   rtol=1e-5, atol=1e-5)
