@@ -591,9 +591,8 @@ def pq_search_sharded(query, codes, codebooks, mesh, k, axis="data",
     return jitted(q, codes_in, jnp.asarray(codebooks, jnp.float32))
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk", "precise"))
 def pq_search(query, codes, codebooks, k, chunk=None, precise=False,
-              rotation=None):
+              rotation=None, kernel=None):
     """Exhaustive-ADC k nearest codes per query row.
 
     query (Q, D) f32; codes (N, m) uint8; codebooks (m, ksub, dsub) f32.
@@ -604,16 +603,24 @@ def pq_search(query, codes, codebooks, k, chunk=None, precise=False,
     to the query here so ADC runs in the codes' rotated frame; the returned
     distances are still original-space (orthogonal invariance).
 
-    Per tile the codes one-hot-expand and ONE
-    (Q, m·ksub) x (m·ksub, tile) matmul with the flattened LUT yields the
-    tile's distances — the TPU-shaped replacement for CPU ADC's per-element
-    table lookups, which XLA:TPU lowers poorly — merged through the same
-    running-top-k as topk_nearest. The materialized one-hot (matmul
-    operands can't fuse) is the dominant HBM traffic, 2·ksub bytes per code
-    byte in bf16; the honest cost model vs the f32 exact scan at D=4096,
-    m=64 is therefore ~2x traffic at equal gallery size — PQ's win is
-    CAPACITY (a 100M-image index fits one chip) and index load/storage,
-    not per-query latency at sizes where full-width fits.
+    Two tile-scoring formulations, merged through the same running-top-k
+    as topk_nearest either way:
+
+    * XLA (``kernel=False``): per tile the codes one-hot-expand and ONE
+      (Q, m·ksub) x (m·ksub, tile) matmul with the flattened LUT yields
+      the tile's distances. The one-hot MATERIALIZES in HBM (matmul
+      operands can't fuse): ~2·ksub bytes of traffic per code byte in
+      bf16, which is why this formulation loses to the exact f32 scan on
+      latency at sizes where full-width fits.
+    * Pallas (``kernel=True``, ops/pq_kernel.py): the one-hot is built IN
+      VMEM per subspace and fed straight to the MXU — HBM sees only the
+      raw code bytes + the tiny LUT, ~2·ksub x less traffic, making the
+      scan code-bandwidth-bound (m bytes/row vs the exact scan's D·dtype).
+
+    ``kernel=None`` (default) auto-selects: the Pallas path on a TPU
+    backend when the working set fits its VMEM budget, XLA otherwise
+    (override with OPENIBL_PQ_KERNEL=0/1). Both paths are pinned to the
+    float ADC oracle (tests/test_pq.py).
 
     ``precise=False`` (default): bf16 LUT/one-hot, f32 accumulation — the
     one-hot entries are exactly 0/1, so the only rounding is the LUT
@@ -621,6 +628,51 @@ def pq_search(query, codes, codebooks, k, chunk=None, precise=False,
     error. ``precise=True`` runs f32·HIGHEST end to end (bit-matching a
     float ADC oracle; 2x one-hot traffic) for tests and tiny galleries.
     """
+    import os
+
+    m = codebooks.shape[0] if hasattr(codebooks, "shape") else \
+        np.asarray(codebooks).shape[0]
+    ksub = codebooks.shape[1]
+    n = codes.shape[0]
+    qn = query.shape[0]
+    k = int(min(k, n))
+    if chunk is None:
+        # XLA: ~128MB bf16 one-hot transient per scan step. Pallas: the
+        # one-hot lives in VMEM, so the tile is VMEM-budgeted instead.
+        chunk = int(min(max(64 * 1024**2 // (m * ksub), 1024), n))
+    env = os.environ.get("OPENIBL_PQ_KERNEL")
+    if env is not None:
+        kernel = env not in ("0", "false", "")
+    if kernel is None or kernel:
+        from openibl_tpu.ops.pq_kernel import adc_tile_fits
+
+        # VMEM-sized tile: the largest lane-aligned tile within budget
+        # (bigger tiles = fewer scan steps; the one-hot is the growing
+        # term, so small query batches afford much larger tiles)
+        ck = 256
+        while ck * 2 <= min(chunk, 8192) and adc_tile_fits(
+                m, qn, ksub, ck * 2, precise):
+            ck *= 2
+        fits = adc_tile_fits(m, qn, ksub, ck, precise)
+        if kernel is None:
+            kernel = fits and jax.default_backend() == "tpu"
+        elif not fits:
+            raise ValueError(
+                f"pq_search kernel=True but (m={m}, Q={qn}, ksub={ksub}, "
+                f"tile={ck}) exceeds the Pallas VMEM budget — shrink the "
+                f"query batch or pass kernel=False")
+        if kernel:
+            chunk = ck
+    return _pq_search_impl(query, codes, codebooks, k=k, chunk=chunk,
+                           precise=precise, rotation=rotation,
+                           kernel=bool(kernel),
+                           interpret=jax.default_backend() != "tpu")
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk", "precise",
+                                             "kernel", "interpret"))
+def _pq_search_impl(query, codes, codebooks, k, chunk, precise, rotation,
+                    kernel, interpret):
     q = jnp.asarray(query, jnp.float32)
     if rotation is not None:
         q = jnp.dot(q, jnp.asarray(rotation, jnp.float32),
@@ -629,20 +681,23 @@ def pq_search(query, codes, codebooks, k, chunk=None, precise=False,
     cb = jnp.asarray(codebooks, jnp.float32)
     m, ksub, dsub = cb.shape
     n = codes.shape[0]
-    k = min(k, n)
-    if chunk is None:
-        # ~128MB bf16 one-hot transient per scan step
-        chunk = int(min(max(64 * 1024**2 // (m * ksub), 1024), n))
 
-    # LUT: lut[q, m, j] = ||q_m - cb[m, j]||² (Q, m, ksub)
+    # LUT: lut_mqk[m, q, j] = ||q_m - cb[m, j]||² (m, Q, ksub)
     qm = _split_subspaces(q, m)  # (m, Q, dsub)
-    lut = jnp.transpose(_sub_d2(qm, cb), (1, 0, 2))  # (Q, m, ksub)
-    lut_flat = lut.reshape(q.shape[0], m * ksub)
+    lut_mqk = _sub_d2(qm, cb)
+    lut_flat = jnp.transpose(lut_mqk, (1, 0, 2)).reshape(
+        q.shape[0], m * ksub)
 
     n_tiles = -(-n // chunk)
     pad = n_tiles * chunk - n
     codes_p = jnp.pad(codes, ((0, pad), (0, 0)))
-    tiles = codes_p.reshape(n_tiles, chunk, m)
+    if kernel:
+        # subspace-major tiles: (n_tiles, m, chunk) so the kernel slices
+        # subspaces on the SUBLANE dim (lane-dim slicing is a Mosaic gap)
+        tiles = jnp.transpose(
+            codes_p.T.reshape(m, n_tiles, chunk), (1, 0, 2))
+    else:
+        tiles = codes_p.reshape(n_tiles, chunk, m)
 
     init = (jnp.full((q.shape[0], k), jnp.inf, jnp.float32),
             jnp.full((q.shape[0], k), -1, jnp.int32))
@@ -653,12 +708,18 @@ def pq_search(query, codes, codebooks, k, chunk=None, precise=False,
     def body(carry, inp):
         best_d, best_i = carry
         tile, start = inp
-        oh = jax.nn.one_hot(tile.astype(jnp.int32), ksub,
-                            dtype=oh_dtype)  # (T, m, ksub)
-        d = jnp.dot(lut_flat.astype(oh_dtype),
-                    oh.reshape(chunk, m * ksub).T,
-                    preferred_element_type=jnp.float32,
-                    precision=mm_prec)  # (Q, T)
+        if kernel:
+            from openibl_tpu.ops.pq_kernel import adc_tile
+
+            d = adc_tile(lut_mqk, tile, precise=precise,
+                         interpret=interpret)  # (Q, T)
+        else:
+            oh = jax.nn.one_hot(tile.astype(jnp.int32), ksub,
+                                dtype=oh_dtype)  # (T, m, ksub)
+            d = jnp.dot(lut_flat.astype(oh_dtype),
+                        oh.reshape(chunk, m * ksub).T,
+                        preferred_element_type=jnp.float32,
+                        precision=mm_prec)  # (Q, T)
         col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1) + start
         d = jnp.where(col < n, d, jnp.inf)
         kk = min(k, chunk)

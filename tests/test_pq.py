@@ -508,3 +508,79 @@ def test_k_clamped_to_gallery_size():
     d, idx = pq_search(x[:2], codes, cb, k=50, precise=True)
     assert np.asarray(d).shape == (2, 6)
     assert sorted(np.asarray(idx)[0].tolist()) == list(range(6))
+
+
+class TestPallasADCKernel:
+    """ops/pq_kernel.py (interpret mode on CPU): the in-VMEM one-hot ADC
+    tile scorer and the kernel=True pq_search path must match the float
+    oracle / the XLA formulation exactly."""
+
+    def test_adc_tile_matches_oracle(self):
+        from openibl_tpu.ops.pq_kernel import adc_tile
+
+        rs = np.random.RandomState(50)
+        m, ksub, q, t = 4, 16, 5, 64
+        lut = rs.randn(m, q, ksub).astype(np.float32)
+        codes_t = rs.randint(0, ksub, (m, t)).astype(np.uint8)
+        got = np.asarray(adc_tile(lut, codes_t, precise=True,
+                                  interpret=True))
+        want = np.zeros((q, t))
+        for j in range(m):
+            want += lut[j][:, codes_t[j].astype(np.int64)]
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_kernel_search_matches_xla_search(self):
+        rs = np.random.RandomState(51)
+        x, _ = _blobs(rs, 500, 32, 12)
+        q = x[:6] + 0.01 * rs.randn(6, 32).astype(np.float32)
+        p = build_pq(x, m=4, ksub=16, iters=6)
+        d0, i0 = pq_search(q, p["pq_codes"], p["pq_codebooks"], k=7,
+                           precise=True, kernel=False)
+        d1, i1 = pq_search(q, p["pq_codes"], p["pq_codebooks"], k=7,
+                           precise=True, kernel=True)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0))
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d0),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_kernel_search_with_rotation(self):
+        rs = np.random.RandomState(52)
+        x = rs.randn(300, 32).astype(np.float32)
+        q = x[:4]
+        p = build_pq(x, m=4, ksub=16, iters=5, opq_iters=2)
+        d0, i0 = pq_search(q, p["pq_codes"], p["pq_codebooks"], k=5,
+                           precise=True, kernel=False,
+                           rotation=p["pq_rotation"])
+        d1, i1 = pq_search(q, p["pq_codes"], p["pq_codebooks"], k=5,
+                           precise=True, kernel=True,
+                           rotation=p["pq_rotation"])
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0))
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d0),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_kernel_rejects_over_budget(self):
+        from openibl_tpu.ops.pq_kernel import adc_tile_fits
+
+        assert adc_tile_fits(64, 16, 256, 1024)
+        assert not adc_tile_fits(64, 4096, 256, 1024)  # huge query batch
+        rs = np.random.RandomState(53)
+        x = rs.randn(64, 512).astype(np.float32)
+        p = build_pq(x, m=64, ksub=256, iters=2)  # LUT alone = 4·64·Q·256
+        with pytest.raises(ValueError, match="VMEM budget"):
+            pq_search(rs.randn(4096, 512).astype(np.float32),
+                      p["pq_codes"], p["pq_codebooks"], k=5, kernel=True)
+
+    def test_env_override_forces_xla(self, monkeypatch):
+        """OPENIBL_PQ_KERNEL=0 must pin the XLA path even with kernel=True
+        requested (the escape hatch if a toolchain can't lower the kernel)."""
+        rs = np.random.RandomState(54)
+        x = rs.randn(200, 16).astype(np.float32)
+        p = build_pq(x, m=4, ksub=16, iters=3)
+        monkeypatch.setenv("OPENIBL_PQ_KERNEL", "0")
+        d0, i0 = pq_search(x[:3], p["pq_codes"], p["pq_codebooks"], k=5,
+                           kernel=True)  # env wins: still XLA
+        monkeypatch.delenv("OPENIBL_PQ_KERNEL")
+        d1, i1 = pq_search(x[:3], p["pq_codes"], p["pq_codebooks"], k=5,
+                           kernel=False)
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+        np.testing.assert_allclose(np.asarray(d0), np.asarray(d1),
+                                   rtol=1e-6, atol=1e-6)
