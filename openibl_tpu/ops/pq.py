@@ -617,10 +617,12 @@ def pq_search(query, codes, codebooks, k, chunk=None, precise=False,
       raw code bytes + the tiny LUT, ~2·ksub x less traffic, making the
       scan code-bandwidth-bound (m bytes/row vs the exact scan's D·dtype).
 
-    ``kernel=None`` (default) auto-selects: the Pallas path on a TPU
-    backend when the working set fits its VMEM budget, XLA otherwise
-    (override with OPENIBL_PQ_KERNEL=0/1). Both paths are pinned to the
-    float ADC oracle (tests/test_pq.py).
+    ``kernel=None`` (default) currently resolves to the XLA path — the
+    Pallas kernel is opt-in (kernel=True, or OPENIBL_PQ_KERNEL=1
+    process-wide) until its on-chip validation artifact lands
+    (scripts/pq_kernel_bench.py → logs/tpu_collect_r05/
+    pq_kernel_chip.json). Both paths are pinned to the float ADC oracle
+    (tests/test_pq.py).
 
     ``precise=False`` (default): bf16 LUT/one-hot, f32 accumulation — the
     one-hot entries are exactly 0/1, so the only rounding is the LUT
@@ -655,7 +657,11 @@ def pq_search(query, codes, codebooks, k, chunk=None, precise=False,
             ck *= 2
         fits = adc_tile_fits(m, qn, ksub, ck, precise)
         if kernel is None:
-            kernel = fits and jax.default_backend() == "tpu"
+            # conservative until the chip artifact lands
+            # (logs/tpu_collect_r05/pq_kernel_chip.json): auto stays OFF;
+            # opt in per-call (kernel=True) or process-wide
+            # (OPENIBL_PQ_KERNEL=1)
+            kernel = False
         elif not fits:
             raise ValueError(
                 f"pq_search kernel=True but (m={m}, Q={qn}, ksub={ksub}, "

@@ -142,11 +142,11 @@ def main():
     for m, row in pq_rows.items():
         opq = (f"{row['opq_recall_at_k']:.3f} | "
                f"{row['opq_recall_at_k_in_top_4k']:.3f} | "
-               f"{row['opq_recon_mse']:.4f}"
+               f"{row['opq_recon_mse']:.3e}"
                if "opq_recall_at_k" in row else "- | - | -")
         print(f"| {m} | {row['recall_at_k']:.3f} | "
               f"{row['recall_at_k_in_top_4k']:.3f} | "
-              f"{row['recon_mse']:.4f} | {opq} |")
+              f"{row['recon_mse']:.3e} | {opq} |")
     print(f"\n| IVFADC m={m_ivf}, nprobe (of {args.nlist}) | "
           f"recall@{args.k} in top-{4 * args.k} |")
     print("|---|---|")
