@@ -617,12 +617,15 @@ def pq_search(query, codes, codebooks, k, chunk=None, precise=False,
       raw code bytes + the tiny LUT, ~2·ksub x less traffic, making the
       scan code-bandwidth-bound (m bytes/row vs the exact scan's D·dtype).
 
-    ``kernel=None`` (default) currently resolves to the XLA path — the
-    Pallas kernel is opt-in (kernel=True, or OPENIBL_PQ_KERNEL=1
-    process-wide) until its on-chip validation artifact lands
+    ``kernel=None`` (default) resolves to the XLA path. Chip validation
     (scripts/pq_kernel_bench.py → logs/tpu_collect_r05/
-    pq_kernel_chip.json). Both paths are pinned to the float ADC oracle
-    (tests/test_pq.py).
+    pq_kernel_chip.json) RULED THE KERNEL OUT on this toolchain: the
+    serving-shape kernel fails to lower (remote compile helper exits 1)
+    and scripts/mosaic_probe.py p7 shows the core in-VMEM one-hot→dot
+    pattern returns wrong values even at toy shapes. kernel=True remains
+    available (and correct under interpret mode / future toolchains — it
+    is pinned to the float ADC oracle in tests/test_pq.py) but must not
+    be the default until a toolchain passes that bench.
 
     ``precise=False`` (default): bf16 LUT/one-hot, f32 accumulation — the
     one-hot entries are exactly 0/1, so the only rounding is the LUT
@@ -657,10 +660,11 @@ def pq_search(query, codes, codebooks, k, chunk=None, precise=False,
             ck *= 2
         fits = adc_tile_fits(m, qn, ksub, ck, precise)
         if kernel is None:
-            # conservative until the chip artifact lands
-            # (logs/tpu_collect_r05/pq_kernel_chip.json): auto stays OFF;
-            # opt in per-call (kernel=True) or process-wide
-            # (OPENIBL_PQ_KERNEL=1)
+            # chip-validated OFF: the kernel fails to lower at serving
+            # shapes and the underlying pattern miscompiles on this
+            # toolchain (logs/tpu_collect_r05/pq_kernel_chip.json,
+            # mosaic_probe p7); opt in per-call (kernel=True) or
+            # process-wide (OPENIBL_PQ_KERNEL=1) on a fixed toolchain
             kernel = False
         elif not fits:
             raise ValueError(
