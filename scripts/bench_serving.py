@@ -2,7 +2,8 @@
 
 VERDICT r3 item 8: measure the end-to-end service latency (uint8 pixels in,
 ranked matches out) for every index storage variant — f32 / f16 / int8 /
-IVF — at each compiled batch bucket, and persist one JSON artifact for
+IVF / PQ / PQ+exact-re-rank — at each compiled batch bucket, and persist
+one JSON artifact for
 docs/API.md. Extends the reference hub contract
 (/root/reference/hubconf.py:5-11) with production serving numbers the
 reference never measured.
@@ -110,10 +111,22 @@ def _device_time_pass(args, results, todo, g_dev, stage, out):
         stage("pq built (on device)")
         return lambda d: pq_search(d, pq_codes, pq_cb, k=10)[1]
 
+    def _mk_pq_rerank():
+        from openibl_tpu.ops.pq import build_pq, pq_search_rerank
+
+        payload = build_pq(g_dev, m=64, train_size=16384, iters=10)
+        pq_codes = jnp.asarray(payload["pq_codes"])
+        pq_cb = jnp.asarray(payload["pq_codebooks"])
+        stage("pq built (rerank variant, on device)")
+        return lambda d: pq_search_rerank(
+            d, pq_codes, pq_cb, g_dev, k=10, shortlist=args.pq_shortlist,
+            gallery_sqnorm=n2)[1]
+
     builders = {"f32": _mk_f32, "f16": _mk_f16, "int8": _mk_int8,
-                "ivf_f32": _mk_ivf, "pq": _mk_pq}
+                "ivf_f32": _mk_ivf, "pq": _mk_pq,
+                "pq_rerank": _mk_pq_rerank}
     # cheapest-build-first so a stall costs the fewest unflushed rows
-    order = ["f32", "f16", "int8", "pq", "ivf_f32"]
+    order = ["f32", "f16", "int8", "pq", "pq_rerank", "ivf_f32"]
     todo = sorted(todo, key=order.index)
 
     n = args.scan_n
@@ -161,8 +174,11 @@ def main():
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--out", type=str,
                     default=str(ROOT / "logs" / "serving_latency.json"))
+    ap.add_argument("--pq-shortlist", type=int, default=128,
+                    help="pq_rerank variant: ADC shortlist size re-ranked "
+                         "by exact distance")
     ap.add_argument("--variants", type=str,
-                    default="f32,f16,int8,ivf_f32,pq",
+                    default="f32,f16,int8,ivf_f32,pq,pq_rerank",
                     help="subset to measure; completed variants already in "
                          "--out are skipped (resume), so a timed-out run "
                          "can be finished by re-running")
@@ -212,7 +228,7 @@ def main():
         except (json.JSONDecodeError, OSError):
             pass
     wanted = [v for v in args.variants.split(",") if v]
-    known = {"f32", "f16", "int8", "ivf_f32", "pq"}
+    known = {"f32", "f16", "int8", "ivf_f32", "pq", "pq_rerank"}
     unknown = [v for v in wanted if v not in known]
     if unknown:
         raise SystemExit(f"unknown variants: {unknown}")
@@ -283,9 +299,18 @@ def main():
         stage("pq built")
         return dict(index=payload)
 
+    def _pq_rerank():
+        from openibl_tpu.ops.pq import build_pq
+
+        payload = build_pq(g, m=64, train_size=16384, iters=10)
+        stage("pq built (rerank variant)")
+        return dict(index={**payload, "descriptors": g},
+                    pq_rerank=args.pq_shortlist)
+
     variants["int8"] = _int8
     variants["ivf_f32"] = _ivf
     variants["pq"] = _pq
+    variants["pq_rerank"] = _pq_rerank
     rng = np.random.default_rng(1)  # query images only (tiny host work)
     for name in todo:
         kw = variants[name]()
