@@ -31,6 +31,14 @@ only (search path; nothing here needs gradients).
 No reference counterpart (the reference has no quantized index at all);
 the method is Jegou et al. TPAMI 2011 ADC with the lookup-accumulation
 recast for the MXU.
+
+CHIP VERDICT (this toolchain, logs/tpu_collect_r05/pq_kernel_chip.json):
+ruled out — the serving-shape kernel fails to lower (remote compile
+helper exit 1) and mosaic_probe p7 shows the core in-VMEM one-hot→dot
+pattern returns wrong values even at toy shapes, so pq_search never
+selects this kernel by default. It stays correct under interpret mode
+(pinned to the float ADC oracle, tests/test_pq.py) for toolchains whose
+Mosaic passes scripts/pq_kernel_bench.py.
 """
 
 import functools
